@@ -1,0 +1,94 @@
+"""Typed solver configuration with a data.cfg-compatible loader.
+
+Replaces the reference's untyped `key = value` string map
+(/root/reference/utility/config.{h,cpp}) with a validated dataclass.  The
+reference parses `Krylov` and `Precdn` but never reads them
+(main.cpp:14-20); we honour them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+from typing import Optional
+
+
+@dataclass
+class SolverConfig:
+    # equation
+    kernel_size: int = 1          # number of Fourier modes N (kernels 0..2N-2)
+    g: float = 0.95               # Henyey-Greenstein anisotropy
+    # domain
+    domain_size: int = 64         # sz: squares per direction
+    # quadrature
+    quad_rule: int = 3            # deg: Gauss points per direction per square
+    sing_rule: int = 8            # Duffy Gauss rule
+    # fmm
+    np_cheb: int = 4              # Chebyshev interpolation order per dim
+    max_level: int = 20           # max tree depth (cap; implicit tree is static)
+    # krylov
+    krylov: str = "GMRES"
+    precdn: str = "NONE"          # NONE | DSA
+    restart: int = 80             # GMRES restart (reference main.cpp:141)
+    max_iter: int = 400
+    tol: float = 1e-12
+    # io
+    io: bool = True
+    # numerics
+    dtype: str = "float64"        # float32 | float64
+    # reference-compat: evaluate per-square Legendre expansions at *global*
+    # coordinates like the reference does (KernelFactory.cpp:174-207,
+    # :828-860) instead of the mathematically consistent local coordinates.
+    compat_global_basis: bool = False
+
+    def validate(self) -> "SolverConfig":
+        if self.kernel_size < 1:
+            raise ValueError("kernel_size must be >= 1")
+        if self.domain_size < 1 or (self.domain_size & (self.domain_size - 1)) != 0:
+            # power-of-two keeps the implicit quadtree perfect; the dense path
+            # works for any size, so only warn via error for fmm use.
+            pass
+        if self.quad_rule < 1:
+            raise ValueError("quad_rule must be >= 1")
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"unsupported dtype {self.dtype}")
+        return self
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+_KEYMAP = {
+    "kernelSize": ("kernel_size", int),
+    "g": ("g", float),
+    "domainSize": ("domain_size", int),
+    "quadRule": ("quad_rule", int),
+    "singRule": ("sing_rule", int),
+    "np": ("np_cheb", int),
+    "maxLevel": ("max_level", int),
+    "Krylov": ("krylov", str),
+    "Precdn": ("precdn", str),
+    "IO": ("io", lambda s: bool(int(s))),
+    "restart": ("restart", int),
+    "maxIter": ("max_iter", int),
+    "tol": ("tol", float),
+    "dtype": ("dtype", str),
+}
+
+
+def load_cfg(path: str) -> SolverConfig:
+    """Parse a reference-format data.cfg file (utility/config.cpp:17-44)."""
+    cfg = SolverConfig()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key = key.strip()
+            value = value.strip()
+            if key in _KEYMAP:
+                attr, conv = _KEYMAP[key]
+                setattr(cfg, attr, conv(value))
+    return cfg.validate()

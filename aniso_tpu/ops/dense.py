@@ -1,0 +1,100 @@
+"""Dense (all-pairs) operator assembly -- the exact reference path.
+
+This is the validation backbone (SURVEY.md section 7 stage 3): the FMM and
+distributed paths are accelerations of exactly this operator.  The corrected
+mode-m matvec is
+
+  K_m u = (1/2pi) [ smooth_m all-pairs (w u)
+                  + real_m  all-pairs (w u)
+                  + NearStencil_m u ]
+
+where NearStencil = -coarse(3x3) + refined(8) + duffy(self) (see ops.near).
+The coarse 3x3 part of the all-pairs real sum cancels against the stencil's
+removal term exactly as in the reference composition (main.cpp:78-119).
+
+Matrices are assembled in row-chunks with vmapped kernel evaluation; the
+smooth matrix embeds the attenuation E per pair (the expensive part, done
+once per sigma_t like the reference's cache passes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import Grid
+from .attenuation import make_line_integral, make_sigma_eval
+from .kernels import real_kernel, smooth_kernel_from_E
+
+
+def build_dense_real(grid: Grid, m: int, dtype=jnp.float64) -> jnp.ndarray:
+    """(n, n) matrix K[t, s] = real_m(s, t) * w_glob[s]  (geometry-only)."""
+    pts = grid.flat_nodes()
+    w = grid.weights.reshape(-1)
+    ax = jnp.asarray(pts[:, 0], dtype=dtype)
+    ay = jnp.asarray(pts[:, 1], dtype=dtype)
+    k = real_kernel(m, ax[None, :], ay[None, :], ax[:, None], ay[:, None])
+    return k * jnp.asarray(w, dtype=dtype)[None, :]
+
+
+def build_dense_smooth(
+    grid: Grid,
+    m: int,
+    coeffs: jnp.ndarray,
+    compat_global_basis: bool = False,
+    chunk: int = 256,
+    dtype=jnp.float64,
+) -> jnp.ndarray:
+    """(n, n) matrix K[t, s] = smooth_m(s, t) * w_glob[s].
+
+    coeffs: sigma_t Legendre coefficients (sz, sz, deg^2).  The diagonal for
+    m = 0 is sigma_hat(node) (reference KernelFactory.cpp:260).
+    """
+    pts = grid.flat_nodes()
+    n = pts.shape[0]
+    w = jnp.asarray(grid.weights.reshape(-1), dtype=dtype)
+    ax = jnp.asarray(pts[:, 0], dtype=dtype)
+    ay = jnp.asarray(pts[:, 1], dtype=dtype)
+    li = make_line_integral(grid, grid.sz, compat_global_basis)
+    sig = make_sigma_eval(grid, compat_global_basis)
+    diag_sigma = sig(coeffs, ax, ay) if m == 0 else None
+
+    # E(t_row, s_col) for a block of rows at a time
+    pair_E = jax.vmap(jax.vmap(li, in_axes=(None, None, None, 0, 0)),
+                      in_axes=(None, 0, 0, None, None))
+
+    @jax.jit
+    def block(bx, by, bdiag):
+        E = pair_E(coeffs, bx, by, ax, ay)           # (chunk, n)
+        ds = bdiag[:, None] if m == 0 else None
+        k = smooth_kernel_from_E(
+            m, ax[None, :], ay[None, :], bx[:, None], by[:, None], E,
+            diag_sigma=ds,
+        )
+        return k * w[None, :]
+
+    rows = []
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        bd = diag_sigma[start:end] if m == 0 else jnp.zeros(end - start, dtype)
+        rows.append(block(ax[start:end], ay[start:end], bd))
+    return jnp.concatenate(rows, axis=0)
+
+
+def dense_apply(k_smooth, k_real, stencil, duffy, grid: Grid, u: jnp.ndarray):
+    """Full corrected mode matvec on (sz, sz, nq) charge -> (sz, sz, nq).
+
+    Mirrors main.cpp:78-119 / AnisoWrapper.cpp:92-136 composition.
+    """
+    from .stencil import apply_near_stencil, apply_per_square
+
+    sz, nq = grid.sz, grid.nq
+    wu = (u * jnp.asarray(grid.weights, dtype=u.dtype)).reshape(-1)
+    out = (k_smooth @ wu + k_real @ wu).reshape(sz, sz, nq)
+    out = out + apply_near_stencil(stencil, u)
+    if duffy is not None:
+        out = out + apply_per_square(duffy, u)
+    return out / (2.0 * jnp.pi)
