@@ -92,8 +92,12 @@ def dense_apply(k_smooth, k_real, stencil, duffy, grid: Grid, u: jnp.ndarray):
     from .stencil import apply_near_stencil, apply_per_square
 
     sz, nq = grid.sz, grid.nq
-    wu = (u * jnp.asarray(grid.weights, dtype=u.dtype)).reshape(-1)
-    out = (k_smooth @ wu + k_real @ wu).reshape(sz, sz, nq)
+    # the dense matrices already include the source quadrature weight
+    # (build_dense_*: k * w[None, :]), so they act on the *raw* charge --
+    # equivalent to the reference applying the unweighted kernel to
+    # scaledFunction = charge .* weights (main.cpp:86-89)
+    uf = u.reshape(-1)
+    out = (k_smooth @ uf + k_real @ uf).reshape(sz, sz, nq)
     out = out + apply_near_stencil(stencil, u)
     if duffy is not None:
         out = out + apply_per_square(duffy, u)
