@@ -58,7 +58,13 @@ def build_dense_smooth(
     w = jnp.asarray(grid.weights.reshape(-1), dtype=dtype)
     ax = jnp.asarray(pts[:, 0], dtype=dtype)
     ay = jnp.asarray(pts[:, 1], dtype=dtype)
-    li = make_line_integral(grid, grid.sz, compat_global_basis)
+    # chop long segments into pieces so the compiled body stays small
+    # (compile time scales with the static per-piece crossing bound)
+    if grid.sz <= 8:
+        li = make_line_integral(grid, grid.sz, compat_global_basis)
+    else:
+        n_pieces = -(-grid.sz // 6)
+        li = make_line_integral(grid, 8, compat_global_basis, n_pieces=n_pieces)
     sig = make_sigma_eval(grid, compat_global_basis)
     diag_sigma = sig(coeffs, ax, ay) if m == 0 else None
 

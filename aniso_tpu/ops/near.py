@@ -144,15 +144,30 @@ def build_duffy_matrix(
 
 
 def build_near_stencil(
-    grid: Grid, m: int, sing_rule: int, compat_global_basis: bool = False
+    grid: Grid,
+    m: int,
+    sing_rule: int,
+    compat_global_basis: bool = False,
+    include_removal: bool = True,
 ):
     """Full near correction: returns (stencil(3,3,nq,nq), duffy_or_None).
 
+    include_removal=True (dense backend): stencil = -coarse + refined + duffy,
+    cancelling the coarse 3x3 contribution contained in the all-pairs sum
+    (reference composition, main.cpp:100-113).
+
+    include_removal=False (FMM backend): the fast path never *adds* the
+    real-kernel 3x3 coarse near field (its U-list is omitted -- the
+    reference adds it in the FMM and subtracts it in nearRemoval, an exact
+    wash), so the stencil is refined + duffy only.
+
     In local mode the Duffy block is folded into stencil[1,1] and the second
-    return is None.  In compat mode the stencil holds -coarse+refined only
-    and the (sz,sz,nq,nq) per-square Duffy stack is returned separately.
+    return is None.  In compat mode the stencil excludes Duffy and the
+    (sz,sz,nq,nq) per-square Duffy stack is returned separately.
     """
-    s = -build_coarse_removal(grid, m) + build_refined_addon(grid, m)
+    s = build_refined_addon(grid, m)
+    if include_removal:
+        s = s - build_coarse_removal(grid, m)
     if not compat_global_basis:
         s[1, 1] += build_duffy_matrix(grid, m, sing_rule, False)
         return s, None

@@ -58,12 +58,19 @@ class TransportSolver:
             chi = (g ** np.arange(N) - g ** N) / (1.0 - g ** N)
         self.chi = jnp.asarray(chi, dtype=self.dtype)
 
-        # geometry-only near stencils per mode
+        if backend == "fmm" and cfg.compat_global_basis:
+            raise NotImplementedError(
+                "compat_global_basis is only supported by the dense backend"
+            )
+
+        # geometry-only near stencils per mode; the FMM path omits the
+        # real-kernel U list, so its stencil carries no removal term
         self._stencils = []
         self._duffys = []
         for m in range(self.n_modes):
             s, d = build_near_stencil(
-                self.grid, m, cfg.sing_rule, cfg.compat_global_basis
+                self.grid, m, cfg.sing_rule, cfg.compat_global_basis,
+                include_removal=(backend == "dense"),
             )
             self._stencils.append(jnp.asarray(s, dtype=self.dtype))
             self._duffys.append(
@@ -75,6 +82,21 @@ class TransportSolver:
         self.sigma_s = None
         self.sigma_t = None
         self.sigma_t_coeff = None
+
+        if backend == "fmm":
+            from ..fmm.structure import tree_config
+            from ..fmm.apply import build_fmm_static, build_real_m2l
+
+            self._tcfg = tree_config(cfg.domain_size)
+            self._fmm_static = build_fmm_static(
+                self.grid, cfg.np_cheb, dtype=self.dtype
+            )
+            self._m2l_real = build_real_m2l(
+                self.grid, self._tcfg, cfg.np_cheb,
+                list(range(self.n_modes)), dtype=self.dtype,
+            )
+            self._mode_data = None
+            self._fmm_jit = None
 
     # -- coefficient setting (reference AnisoWrapper 'setCoeff' + 'cache') --
 
@@ -103,13 +125,57 @@ class TransportSolver:
                 )
                 for m in range(self.n_modes)
             ]
+        elif self.backend_name == "fmm":
+            self._build_fmm_caches()
         else:
             raise NotImplementedError(self.backend_name)
+
+    def _build_fmm_caches(self):
+        from ..fmm.apply import fmm_apply_mode
+        from ..fmm.smooth import (
+            build_near_smooth_blocks,
+            build_m2l_smooth_cache,
+        )
+        from ..ops.fields import evaluate_at_nodes
+
+        g = self.grid
+        modes = list(range(self.n_modes))
+        sigma_nodes = evaluate_at_nodes(g, self.sigma_t_coeff)
+        near_smooth = build_near_smooth_blocks(
+            g, self.sigma_t_coeff, modes, sigma_nodes, dtype=self.dtype
+        )
+        m2l_smooth = build_m2l_smooth_cache(
+            g, self._tcfg, self.cfg.np_cheb, self.sigma_t_coeff, modes,
+            dtype=self.dtype,
+        )
+        self._mode_data = []
+        for m in modes:
+            self._mode_data.append(
+                {
+                    "near_real": self._stencils[m],
+                    "near_smooth": near_smooth[m],
+                    "m2l_real": {
+                        lv: self._m2l_real[lv][m] for lv in self._m2l_real
+                    },
+                    "m2l_smooth": {
+                        lv: m2l_smooth[lv][m] for lv in m2l_smooth
+                    },
+                }
+            )
+        leaf = self._tcfg.leaf_level
+        static = self._fmm_static
+        self._fmm_jit = jax.jit(
+            lambda data, u: fmm_apply_mode(leaf, static, data, u)
+        )
 
     # -- corrected matvec (reference MEX 'mapping') --
 
     def apply_mode(self, m: int, u: jnp.ndarray) -> jnp.ndarray:
         """K_m u on (sz, sz, nq) charge (AnisoWrapper.cpp:92-136)."""
+        if self.backend_name == "fmm":
+            if self._mode_data is None:
+                raise RuntimeError("call set_coeff first")
+            return self._fmm_jit(self._mode_data[m], u)
         if self._k_smooth is None:
             raise RuntimeError("call set_coeff first")
         return dense_ops.dense_apply(
