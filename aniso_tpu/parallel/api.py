@@ -1,0 +1,99 @@
+"""SPMD domain decomposition over a TPU device mesh.
+
+The reference's only parallelism is shared-memory OpenMP loops
+(KernelFactory.cpp:214-216 etc., SURVEY.md section 2).  The TPU-native
+counterpart is spatial domain decomposition of the (sz, sz, nq) grid of
+squares over a 2D jax.sharding.Mesh:
+
+  * fields and per-square caches are sharded P("x", "y", None);
+  * the 3x3 near-field stencil (a conv) gets its one-square halo exchange
+    inserted by XLA GSPMD over ICI;
+  * FMM level arrays stay sharded while boxes-per-axis >= mesh-axis size
+    and are replicated at the (tiny) coarse levels;
+  * GMRES dot products / norms on sharded operands become psums.
+
+Everything is driven through jit + NamedSharding (GSPMD) rather than a
+hand-rolled NCCL analogue: XLA chooses and schedules the collectives.
+shard_map/pallas-DMA variants are an optimization layer on top, not a
+correctness requirement.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """A 2D ("x", "y") mesh as square as possible over the given devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    a = int(math.isqrt(n))
+    while n % a:
+        a -= 1
+    return Mesh(np.array(devices).reshape(a, n // a), ("x", "y"))
+
+
+def field_spec() -> P:
+    return P("x", "y")
+
+
+def shard_field(mesh: Mesh, arr) -> jax.Array:
+    """Place an (sz, sz, ...) per-square array sharded over the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P("x", "y")))
+
+
+def replicate(mesh: Mesh, arr) -> jax.Array:
+    return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def _shardable(shape, mesh: Mesh) -> bool:
+    return (
+        len(shape) >= 2
+        and shape[0] % mesh.shape["x"] == 0
+        and shape[1] % mesh.shape["y"] == 0
+        and shape[0] >= mesh.shape["x"]
+        and shape[1] >= mesh.shape["y"]
+    )
+
+
+def shard_mode_data(mesh: Mesh, mode_data: dict) -> dict:
+    """Place a solver mode-data pytree: per-square and per-box arrays sharded
+    where divisible, small coarse-level operators replicated."""
+
+    def place(x):
+        x = jnp.asarray(x)
+        if _shardable(x.shape, mesh):
+            return shard_field(mesh, x)
+        return replicate(mesh, x)
+
+    return jax.tree_util.tree_map(place, mode_data)
+
+
+def sharded_solver(solver, mesh: Mesh):
+    """Wrap a TransportSolver (fmm backend) for mesh execution.
+
+    Returns (apply_fn, mode_data_sharded) where apply_fn(mode_data, u) is
+    the jitted corrected matvec with sharded in/out.
+    """
+    from ..fmm.apply import fmm_apply_mode
+
+    leaf = solver._tcfg.leaf_level
+    static = {k: replicate(mesh, v) for k, v in solver._fmm_static.items()}
+    data = [shard_mode_data(mesh, md) for md in solver._mode_data]
+    fspec = NamedSharding(mesh, P("x", "y"))
+
+    @jax.jit
+    def apply_fn(mode_data, u):
+        out = fmm_apply_mode(leaf, static, mode_data, u)
+        return jax.lax.with_sharding_constraint(out, fspec)
+
+    return apply_fn, data
