@@ -1,0 +1,149 @@
+"""Aux subsystems: profiler, logger, CSV/checkpoint IO, config loader, CLI."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from aniso_tpu.utils.profiler import Profiler, timed
+from aniso_tpu.utils.logging import Logger, DEBUG, ERROR
+from aniso_tpu.utils.io import (
+    write_result_csv, write_points_csv, load_result_csv,
+    save_checkpoint, load_checkpoint,
+)
+from aniso_tpu.core.config import SolverConfig, load_cfg
+
+
+def test_profiler_counted_uncounted():
+    p = Profiler(sync=False)
+    p.tic("a")
+    p.toc()
+    p.tic("b")
+    p.toc(count=False)
+    times = p.times()
+    assert set(times) == {"a", "b"}
+    assert p.total == pytest.approx(times["a"])
+    rep = p.report()
+    assert "a" in rep and "[C]" in rep and "[U]" in rep
+
+    # tic while clocking is a no-op (reference Profiler.h:32-33)
+    p.tic("c")
+    p.tic("d")
+    p.toc()
+    assert "d" not in p.times()
+
+
+def test_profiler_section_context():
+    p = Profiler(sync=False)
+    with p.section("phase"):
+        pass
+    assert "phase" in p.times()
+
+
+def test_timed_returns_median():
+    med, samples = timed(lambda x: x + 1, np.ones(4), reps=3)
+    assert med >= 0 and len(samples) == 3
+
+
+def test_logger_levels():
+    buf = io.StringIO()
+    lg = Logger(level=ERROR, stream=buf)
+    lg.info("hidden")
+    lg.error("shown")
+    out = buf.getvalue()
+    assert "hidden" not in out and "shown" in out
+    lg.setlevel(DEBUG)
+    lg.debug("now visible")
+    assert "now visible" in buf.getvalue()
+
+
+def test_csv_roundtrip(tmp_path):
+    x = np.random.default_rng(0).standard_normal(17)
+    path = str(tmp_path / "result.csv")
+    write_result_csv(x, path)
+    back = load_result_csv(path, n=17)
+    np.testing.assert_allclose(back, x, rtol=0, atol=0)  # 32 digits: exact
+
+    with pytest.raises(ValueError):
+        load_result_csv(path, n=5)
+    assert load_result_csv(str(tmp_path / "missing.csv")) is None
+
+    pts = str(tmp_path / "points.csv")
+    write_points_csv(x, 2 * x, pts)
+    data = np.loadtxt(pts)
+    np.testing.assert_allclose(data[:, 0], x)
+    np.testing.assert_allclose(data[:, 1], 2 * x)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ck.npz")
+    x = np.arange(12.0).reshape(3, 4)
+    save_checkpoint(path, x=x, config={"domain_size": 8}, residual=1e-9,
+                    iterations=7)
+    ck = load_checkpoint(path)
+    np.testing.assert_array_equal(ck["x"], x)
+    assert ck["config"]["domain_size"] == 8
+    assert float(ck["residual"]) == pytest.approx(1e-9)
+    assert int(ck["iterations"]) == 7
+    assert load_checkpoint(str(tmp_path / "none.npz")) is None
+
+
+def test_load_reference_format_cfg(tmp_path):
+    cfg_text = """# comment line
+kernelSize = 3
+g = 0.5
+domainSize = 16
+quadRule = 2
+singRule = 6
+np = 4
+maxLevel = 20
+Krylov = GMRES
+Precdn = DSA
+IO = 0
+"""
+    path = tmp_path / "data.cfg"
+    path.write_text(cfg_text)
+    cfg = load_cfg(str(path))
+    assert cfg.kernel_size == 3 and cfg.g == 0.5
+    assert cfg.domain_size == 16 and cfg.quad_rule == 2
+    assert cfg.precdn == "DSA" and cfg.io is False
+
+
+def test_cli_end_to_end(tmp_path):
+    """aniso-tpu run on a tiny config: solves, writes CSVs, warm-restarts."""
+    from aniso_tpu.cli import main
+
+    cfg = tmp_path / "tiny.cfg"
+    cfg.write_text(
+        "kernelSize = 1\ng = 0.0\ndomainSize = 4\nquadRule = 2\n"
+        "singRule = 6\nnp = 3\nIO = 1\ntol = 1e-10\n"
+    )
+    result = str(tmp_path / "result.csv")
+    points = str(tmp_path / "points.csv")
+    ck = str(tmp_path / "ck.npz")
+    rc = main([
+        "run", str(cfg), "--backend", "dense", "--dtype", "float64",
+        "--result", result, "--points", points, "--checkpoint", ck,
+    ])
+    assert rc == 0
+    x = load_result_csv(result, n=4 * 4 * 4)
+    assert x is not None and np.all(np.isfinite(x))
+    assert os.path.exists(points)
+    saved = load_checkpoint(ck)
+    assert saved["config"]["domain_size"] == 4
+
+    # warm start from the previous result must converge immediately
+    rc = main([
+        "run", str(cfg), "--backend", "dense", "--dtype", "float64",
+        "--result", result, "--points", points,
+    ])
+    assert rc == 0
+
+
+def test_cli_info(capsys):
+    from aniso_tpu.cli import main
+
+    assert main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert '"device_count"' in out
