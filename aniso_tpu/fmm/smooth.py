@@ -228,14 +228,23 @@ def build_m2l_smooth_level_coarse(
     m_boxes = tcfg.boxes(level)
     m2 = m_boxes // 2
 
-    # generic path: pieces sized so each piece crosses <= 8 cells/axis
-    span = 5 * B
-    n_pieces = max(1, -(-span // 6))
-    li = make_line_integral(grid, 8, n_pieces=n_pieces)
-    pair_E = jax.jit(
-        jax.vmap(lambda c, a, b: li(c, a[0], a[1], b[0], b[1]),
-                 in_axes=(None, 0, 0))
-    )
+    # host-side E assembly: native OpenMP engine when present (the
+    # reference's C++ cache-pass role, KernelFactory.cpp:550-609), else the
+    # generic JAX per-pair path in pieces sized so each piece crosses <= 8
+    # cells/axis
+    from .. import native
+    use_native = native.available()
+    if use_native:
+        coeffs_np = np.asarray(coeffs, np.float64)
+        pair_E = None
+    else:
+        span = 5 * B
+        n_pieces = max(1, -(-span // 6))
+        li = make_line_integral(grid, 8, n_pieces=n_pieces)
+        pair_E = jax.jit(
+            jax.vmap(lambda c, a, b: li(c, a[0], a[1], b[0], b[1]),
+                     in_axes=(None, 0, 0))
+        )
 
     out = {m: {} for m in modes}
     for px in (0, 1):
@@ -264,15 +273,20 @@ def build_m2l_smooth_level_coarse(
                 flat_s = src.reshape(-1, 2)
                 flat_t = tgt.reshape(-1, 2)
                 n_pairs = flat_s.shape[0]
-                Es = np.empty(n_pairs)
-                for st in range(0, n_pairs, chunk):
-                    en = min(st + chunk, n_pairs)
-                    seg_s = np.zeros((chunk, 2)); seg_s[: en - st] = flat_s[st:en]
-                    seg_t = np.zeros((chunk, 2)); seg_t[: en - st] = flat_t[st:en]
-                    Echunk = pair_E(coeffs.astype(dtype),
-                                    jnp.asarray(seg_s, dtype=dtype),
-                                    jnp.asarray(seg_t, dtype=dtype))
-                    Es[st:en] = np.asarray(Echunk)[: en - st]
+                if use_native:
+                    Es = native.attenuation_batch(
+                        grid, coeffs_np, flat_s, flat_t
+                    )
+                else:
+                    Es = np.empty(n_pairs)
+                    for st in range(0, n_pairs, chunk):
+                        en = min(st + chunk, n_pairs)
+                        seg_s = np.zeros((chunk, 2)); seg_s[: en - st] = flat_s[st:en]
+                        seg_t = np.zeros((chunk, 2)); seg_t[: en - st] = flat_t[st:en]
+                        Echunk = pair_E(coeffs.astype(dtype),
+                                        jnp.asarray(seg_s, dtype=dtype),
+                                        jnp.asarray(seg_t, dtype=dtype))
+                        Es[st:en] = np.asarray(Echunk)[: en - st]
                 E_all[:, :, oi] = Es.reshape(m2, m2, r, r)
 
             rr = np.sqrt(dvec[..., 0] ** 2 + dvec[..., 1] ** 2)

@@ -47,12 +47,34 @@ def build_dense_smooth(
     compat_global_basis: bool = False,
     chunk: int = 256,
     dtype=jnp.float64,
+    use_native: bool | None = None,
 ) -> jnp.ndarray:
     """(n, n) matrix K[t, s] = smooth_m(s, t) * w_glob[s].
 
     coeffs: sigma_t Legendre coefficients (sz, sz, deg^2).  The diagonal for
     m = 0 is sigma_hat(node) (reference KernelFactory.cpp:260).
+
+    use_native: assemble on host with the OpenMP C++ engine
+    (csrc/aniso_host.cpp) instead of vmapped JAX -- same quadrature, float64;
+    default auto-detects.  The all-pairs E assembly is host-side precompute
+    (the reference's cache-pass role), not device work.
     """
+    if use_native is None:
+        from .. import native
+        use_native = native.available()
+    if use_native:
+        from .. import native
+        rows = []
+        n = grid.n_nodes
+        row_chunk = max(chunk, 1024)
+        for start in range(0, n, row_chunk):
+            nrows = min(row_chunk, n - start)
+            rows.append(native.smooth_rows(
+                grid, np.asarray(coeffs, np.float64), m, start, nrows,
+                compat_global_basis,
+            ))
+        return jnp.asarray(np.vstack(rows), dtype=dtype)
+
     pts = grid.flat_nodes()
     n = pts.shape[0]
     w = jnp.asarray(grid.weights.reshape(-1), dtype=dtype)
