@@ -22,6 +22,7 @@ removal sets differ slightly by tree geometry).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -79,88 +80,127 @@ def build_fmm_static(grid: Grid, np_cheb: int, dtype=jnp.float32) -> dict:
     }
 
 
+@functools.lru_cache(maxsize=None)
+def off_index_table_np() -> np.ndarray:
+    """(4, 27) int32: flat 6x6-window index of each V-list offset per class.
+
+    For a target box of parity (px, py) the 27 V offsets (di, dj) all lie in
+    the 6x6 window whose element (a, b) maps to di = a - 2 - px,
+    dj = b - 2 - py; class index c = 2*px + py.
+    """
+    out = np.empty((4, 27), dtype=np.int32)
+    for px in (0, 1):
+        for py in (0, 1):
+            offs = vlist_offsets(px, py)
+            idx = [(di + 2 + px) * 6 + (dj + 2 + py) for (di, dj) in offs]
+            out[2 * px + py] = idx
+    return out
+
+
+def fuse_m2l_level(real_lv: dict, smooth_lv: dict, dtype) -> jnp.ndarray:
+    """Fold the TI real ops into the per-box smooth cache at one level.
+
+    real_lv: {(px,py): (27, r, r)}; smooth_lv: {(px,py): (m2, m2, 27, r, r)}
+    -> (4, m2, m2, 27, r, r) with class order c = 2*px + py.  One fused
+    tensor per level makes the whole V-list translation a single batched
+    contraction on the MXU (cf. the reference's per-node cached dgemvs,
+    bbfmm.h:1041-1129).
+    """
+    per_class = []
+    for px in (0, 1):
+        for py in (0, 1):
+            s = jnp.asarray(smooth_lv[(px, py)], dtype=dtype)
+            rl = jnp.asarray(real_lv[(px, py)], dtype=dtype)
+            per_class.append(s + rl[None, None])
+    return jnp.stack(per_class)
+
+
 def _up_pass(static, leaf_level: int, u: jnp.ndarray):
-    """Leaf charges -> multipoles per level: dict level -> (m, m, r)."""
+    """Leaf charges -> multipoles per level: dict level -> (m, m, r).
+
+    One einsum per level: the 4 child->parent transfers are batched through
+    the (2, 2, r, r) m2m tensor acting on (m2, 2, m2, 2, r) children.
+    """
     m2m = static["m2m"]
     M = {leaf_level: jnp.einsum("ck,ijk->ijc", static["p2m_w"], u)}
     for level in range(leaf_level, coarsest_m2l_level(), -1):
         child = M[level]
-        acc = 0.0
-        for hx in (0, 1):
-            for hy in (0, 1):
-                acc = acc + jnp.einsum(
-                    "ac,ijc->ija", m2m[hx, hy], child[hx::2, hy::2]
-                )
-        M[level - 1] = acc
+        m2 = child.shape[0] // 2
+        r = child.shape[-1]
+        c4 = child.reshape(m2, 2, m2, 2, r)
+        M[level - 1] = jnp.einsum("hgac,xhygc->xya", m2m, c4)
     return M
 
 
-def _m2l_level(M_l, real_ops, smooth_ops):
-    """V-list translation at one level -> local expansions (m, m, r)."""
+def _m2l_level(M_l, fused_ops):
+    """V-list translation at one level -> local expansions (m, m, r).
+
+    fused_ops: (4, m2, m2, 27, r, r).  All 6x6 stride-2 source windows are
+    extracted with one im2col (conv_general_dilated_patches); the 27 V
+    offsets per parity class are one static gather; the translation itself
+    is one batched einsum over (offset, source-coeff).
+    """
     m = M_l.shape[0]
     r = M_l.shape[-1]
+    m2 = m // 2
     pad = jnp.pad(M_l, ((3, 3), (3, 3), (0, 0)))
-    L = jnp.zeros_like(M_l)
-    for px in (0, 1):
-        for py in (0, 1):
-            offs = vlist_offsets(px, py)
-            m2 = m // 2
-            acc = jnp.zeros((m2, m2, r), dtype=M_l.dtype)
-            for oi, (di, dj) in enumerate(offs):
-                src = pad[
-                    px + di + 3 : px + di + 3 + 2 * m2 : 2,
-                    py + dj + 3 : py + dj + 3 + 2 * m2 : 2,
-                ]
-                acc = acc + jnp.einsum(
-                    "ab,ijb->ija", real_ops[(px, py)][oi], src
-                )
-                if smooth_ops is not None:
-                    acc = acc + jnp.einsum(
-                        "ijab,ijb->ija", smooth_ops[(px, py)][:, :, oi], src
-                    )
-            L = L.at[px::2, py::2].add(acc)
-    return L
+    # the 6x6 window of target box I = 2x+px starts at padded row 2x+1
+    # for both parities (di in [-2-px, 3-px] -> rows 2x+1 .. 2x+6)
+    inp = pad[1 : m + 5, 1 : m + 5].transpose(2, 0, 1)[None]  # (1,r,m+4,m+4)
+    patches = jax.lax.conv_general_dilated_patches(
+        inp, filter_shape=(6, 6), window_strides=(2, 2), padding="VALID"
+    )  # (1, r*36, m2, m2), feature order (channel, fh, fw)
+    g = patches[0].reshape(r, 36, m2, m2)
+    gsel = g[:, jnp.asarray(off_index_table_np())]   # (r, 4, 27, m2, m2)
+    out = jnp.einsum("cxyoab,bcoxy->cxya", fused_ops, gsel)
+    # interleave the 4 parity classes: L[2x+px, 2y+py] = out[2px+py, x, y]
+    return (
+        out.reshape(2, 2, m2, m2, r)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(m, m, r)
+    )
 
 
-def _down_pass(static, leaf_level: int, M, m2l_real, m2l_smooth):
+def _down_pass(static, leaf_level: int, M, m2l_fused):
+    """M2L + L2L sweep; one fused M2L and one L2L einsum per level."""
     m2m = static["m2m"]
     lo = coarsest_m2l_level()
     L = None
     for level in range(lo, leaf_level + 1):
-        T = _m2l_level(
-            M[level],
-            m2l_real[level],
-            m2l_smooth[level] if m2l_smooth is not None else None,
-        )
+        T = _m2l_level(M[level], m2l_fused[level])
         if L is None:
             L = T
         else:
-            Lnext = jnp.zeros_like(T)
-            for hx in (0, 1):
-                for hy in (0, 1):
-                    Lnext = Lnext.at[hx::2, hy::2].set(
-                        jnp.einsum("ac,ija->ijc", m2m[hx, hy], L)
-                    )
-            L = Lnext + T
+            m2 = L.shape[0]
+            r = L.shape[-1]
+            Lc = jnp.einsum("hgac,xya->xhygc", m2m, L)
+            L = Lc.reshape(2 * m2, 2 * m2, r) + T
     return L
+
+
+def _patch_3x3(u: jnp.ndarray) -> jnp.ndarray:
+    """(sz, sz, q) -> (q, 3, 3, sz, sz) zero-padded neighbour windows
+    (one im2col instead of 9 shifted slices)."""
+    q = u.shape[-1]
+    inp = u.transpose(2, 0, 1)[None]
+    patches = jax.lax.conv_general_dilated_patches(
+        inp, filter_shape=(3, 3), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+    )  # (1, q*9, sz, sz)
+    return patches[0].reshape(q, 3, 3, u.shape[0], u.shape[1])
 
 
 def fmm_apply_mode(leaf_level: int, static, mode_data, u: jnp.ndarray):
     """Corrected mode matvec K_m u including the 1/2pi scaling.
 
-    mode_data: {'near_real': (3,3,nq,nq), 'near_smooth': (sz,sz,3,3,nq,nq),
-                'm2l_real': {level: {class: (n_off,r,r)}},
-                'm2l_smooth': {level: {class: (m2,m2,n_off,r,r)}}}
+    mode_data: {'near': (sz,sz,3,3,nq,nq) fused smooth+real U-list blocks,
+                'm2l':  {level: (4, m2, m2, 27, r, r) fused V-list ops}}
+    (the reference's six-pass corrected matvec, main.cpp:78-119, collapsed
+    into one up sweep, one fused translation per level, and one U-list
+    contraction).
     """
-    from ..ops.stencil import apply_near_stencil
-    from .smooth import shifted_patch
-
     M = _up_pass(static, leaf_level, u)
-    L = _down_pass(
-        static, leaf_level, M, mode_data["m2l_real"], mode_data["m2l_smooth"]
-    )
+    L = _down_pass(static, leaf_level, M, mode_data["m2l"])
     far = jnp.einsum("kc,ijc->ijk", static["l2t"], L)
-    upatch = shifted_patch(u, 1)                       # (sz,sz,3,3,nq)
-    near_s = jnp.einsum("ijabts,ijabs->ijt", mode_data["near_smooth"], upatch)
-    near_r = apply_near_stencil(mode_data["near_real"], u)
-    return (far + near_s + near_r) / (2.0 * jnp.pi)
+    near = jnp.einsum("ijabts,sabij->ijt", mode_data["near"], _patch_3x3(u))
+    return (far + near) / (2.0 * jnp.pi)

@@ -55,23 +55,29 @@ def replicate(mesh: Mesh, arr) -> jax.Array:
     return jax.device_put(arr, NamedSharding(mesh, P()))
 
 
-def _shardable(shape, mesh: Mesh) -> bool:
+def _divisible(shape, mesh: Mesh, d0: int, d1: int) -> bool:
     return (
-        len(shape) >= 2
-        and shape[0] % mesh.shape["x"] == 0
-        and shape[1] % mesh.shape["y"] == 0
-        and shape[0] >= mesh.shape["x"]
-        and shape[1] >= mesh.shape["y"]
+        len(shape) > d1
+        and shape[d0] % mesh.shape["x"] == 0
+        and shape[d1] % mesh.shape["y"] == 0
+        and shape[d0] >= mesh.shape["x"]
+        and shape[d1] >= mesh.shape["y"]
     )
 
 
 def shard_mode_data(mesh: Mesh, mode_data: dict) -> dict:
-    """Place a solver mode-data pytree: per-square and per-box arrays sharded
-    where divisible, small coarse-level operators replicated."""
+    """Place a solver mode-data pytree: per-square / per-box arrays sharded
+    over their spatial dims where divisible, small coarse-level operators
+    replicated.  Fused M2L tensors (4, m2, m2, n_off, r, r) carry the parity
+    class first, so their spatial dims are 1 and 2."""
 
     def place(x):
         x = jnp.asarray(x)
-        if _shardable(x.shape, mesh):
+        if x.ndim == 6 and x.shape[0] == 4 and _divisible(x.shape, mesh, 1, 2):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(None, "x", "y"))
+            )
+        if _divisible(x.shape, mesh, 0, 1):
             return shard_field(mesh, x)
         return replicate(mesh, x)
 

@@ -131,7 +131,7 @@ class TransportSolver:
             raise NotImplementedError(self.backend_name)
 
     def _build_fmm_caches(self):
-        from ..fmm.apply import fmm_apply_mode
+        from ..fmm.apply import fmm_apply_mode, fuse_m2l_level
         from ..fmm.smooth import (
             build_near_smooth_blocks,
             build_m2l_smooth_cache,
@@ -148,17 +148,19 @@ class TransportSolver:
             g, self._tcfg, self.cfg.np_cheb, self.sigma_t_coeff, modes,
             dtype=self.dtype,
         )
+        # fuse the TI real operators into the sigma-dependent caches once at
+        # set_coeff time so every apply is a minimal batched-einsum graph
         self._mode_data = []
         for m in modes:
             self._mode_data.append(
                 {
-                    "near_real": self._stencils[m],
-                    "near_smooth": near_smooth[m],
-                    "m2l_real": {
-                        lv: self._m2l_real[lv][m] for lv in self._m2l_real
-                    },
-                    "m2l_smooth": {
-                        lv: m2l_smooth[lv][m] for lv in m2l_smooth
+                    "near": near_smooth[m] + self._stencils[m][None, None],
+                    "m2l": {
+                        lv: fuse_m2l_level(
+                            self._m2l_real[lv][m], m2l_smooth[lv][m],
+                            self.dtype,
+                        )
+                        for lv in m2l_smooth
                     },
                 }
             )
