@@ -81,19 +81,26 @@ def build_fmm_static(grid: Grid, np_cheb: int, dtype=jnp.float32) -> dict:
 
 
 @functools.lru_cache(maxsize=None)
-def off_index_table_np() -> np.ndarray:
-    """(4, 27) int32: flat 6x6-window index of each V-list offset per class.
+def parity_shift_table_np() -> np.ndarray:
+    """(4, 27, 4) int: per class c = 2px+py and V offset o, the source
+    parity plane and its box-grid shift: (sx, sy, shx+1, shy+1).
 
-    For a target box of parity (px, py) the 27 V offsets (di, dj) all lie in
-    the 6x6 window whose element (a, b) maps to di = a - 2 - px,
-    dj = b - 2 - py; class index c = 2*px + py.
+    Source box 2x+px+di has absolute axis index a = px+di in [-2, 3]
+    (structure.axis_offsets), i.e. parity sx = a mod 2 on the coarse
+    (m/2, m/2) plane shifted by shx = (a - sx)/2 in {-1, 0, 1}: every
+    V-list source is at most ONE box away on its parity plane.  This is
+    what makes M2L a halo-1 stencil under spatial sharding (GSPMD's
+    supported halo regime) instead of a stride-2 window conv.
     """
-    out = np.empty((4, 27), dtype=np.int32)
+    out = np.empty((4, 27, 4), dtype=np.int64)
     for px in (0, 1):
         for py in (0, 1):
-            offs = vlist_offsets(px, py)
-            idx = [(di + 2 + px) * 6 + (dj + 2 + py) for (di, dj) in offs]
-            out[2 * px + py] = idx
+            for o, (di, dj) in enumerate(vlist_offsets(px, py)):
+                ax, ay = px + di, py + dj
+                sx, sy = ax & 1, ay & 1
+                out[2 * px + py, o] = (
+                    sx, sy, (ax - sx) // 2 + 1, (ay - sy) // 2 + 1
+                )
     return out
 
 
@@ -135,27 +142,43 @@ def _up_pass(static, leaf_level: int, u: jnp.ndarray):
 def _m2l_level(M_l, fused_ops):
     """V-list translation at one level -> local expansions (m, m, r).
 
-    fused_ops: (4, m2, m2, 27, r, r).  All 6x6 stride-2 source windows are
-    extracted with one im2col (conv_general_dilated_patches); the 27 V
-    offsets per parity class are one static gather; the translation itself
-    is one batched einsum over (offset, source-coeff).
+    fused_ops: (4, m2, m2, 27, r, r).  Multipoles are split into the 4 box
+    parity planes; every V-list source is then a <= 1-box shift of one plane
+    (parity_shift_table_np), so the whole gather is 36 static zero-padded
+    slices -- a halo-1 stencil that shards cleanly over a device mesh (a
+    stride-2 window conv here needs a 5-wide halo, which GSPMD mis-shards
+    for small per-device box counts).  The translation itself is one batched
+    einsum per parity class over (offset, source-coeff).
     """
     m = M_l.shape[0]
     r = M_l.shape[-1]
     m2 = m // 2
-    pad = jnp.pad(M_l, ((3, 3), (3, 3), (0, 0)))
-    # the 6x6 window of target box I = 2x+px starts at padded row 2x+1
-    # for both parities (di in [-2-px, 3-px] -> rows 2x+1 .. 2x+6)
-    inp = pad[1 : m + 5, 1 : m + 5].transpose(2, 0, 1)[None]  # (1,r,m+4,m+4)
-    patches = jax.lax.conv_general_dilated_patches(
-        inp, filter_shape=(6, 6), window_strides=(2, 2), padding="VALID"
-    )  # (1, r*36, m2, m2), feature order (channel, fh, fw)
-    g = patches[0].reshape(r, 36, m2, m2)
-    gsel = g[:, jnp.asarray(off_index_table_np())]   # (r, 4, 27, m2, m2)
-    out = jnp.einsum("cxyoab,bcoxy->cxya", fused_ops, gsel)
-    # interleave the 4 parity classes: L[2x+px, 2y+py] = out[2px+py, x, y]
+    # parity planes P[gx][gy][x, y] = M[2x+gx, 2y+gy], each zero-padded by
+    # one box and pre-sliced into its 9 shifts (views, nothing materalized
+    # until the stack below)
+    P4 = M_l.reshape(m2, 2, m2, 2, r)
+    shifted = [[None] * 2 for _ in range(2)]
+    for gx in (0, 1):
+        for gy in (0, 1):
+            pad = jnp.pad(P4[:, gx, :, gy], ((1, 1), (1, 1), (0, 0)))
+            shifted[gx][gy] = [
+                [pad[a : a + m2, b : b + m2] for b in range(3)]
+                for a in range(3)
+            ]
+    tab = parity_shift_table_np()
+    outs = []
+    for c in range(4):
+        gsel = jnp.stack(
+            [
+                shifted[tab[c, o, 0]][tab[c, o, 1]][tab[c, o, 2]][tab[c, o, 3]]
+                for o in range(tab.shape[1])
+            ]
+        )  # (27, m2, m2, r)
+        outs.append(jnp.einsum("xyoab,oxyb->xya", fused_ops[c], gsel))
+    # interleave the 4 parity classes: L[2x+px, 2y+py] = outs[2px+py][x, y]
     return (
-        out.reshape(2, 2, m2, m2, r)
+        jnp.stack(outs)
+        .reshape(2, 2, m2, m2, r)
         .transpose(2, 0, 3, 1, 4)
         .reshape(m, m, r)
     )
