@@ -43,12 +43,23 @@ class SolverConfig:
     def validate(self) -> "SolverConfig":
         if self.kernel_size < 1:
             raise ValueError("kernel_size must be >= 1")
-        if self.domain_size < 1 or (self.domain_size & (self.domain_size - 1)) != 0:
-            # power-of-two keeps the implicit quadtree perfect; the dense path
-            # works for any size, so only warn via error for fmm use.
-            pass
+        if self.domain_size < 1:
+            raise ValueError("domain_size must be >= 1")
+        # power-of-two is required only by the implicit quadtree; the dense
+        # backend accepts any size.  The real check lives in
+        # fmm.structure.tree_config, raised when the fmm backend is chosen.
         if self.quad_rule < 1:
             raise ValueError("quad_rule must be >= 1")
+        if self.sing_rule < 1:
+            raise ValueError("sing_rule must be >= 1")
+        if self.np_cheb < 2:
+            raise ValueError("np_cheb must be >= 2")
+        if self.krylov.upper() != "GMRES":
+            raise ValueError(f"unsupported Krylov solver {self.krylov!r}")
+        if self.precdn.upper() not in ("NONE", "DSA", "FFT"):
+            # the reference parses Precdn=FFT but never implements it
+            # (data.cfg:30, main.cpp:14-20); accept and ignore it likewise
+            raise ValueError(f"unsupported preconditioner {self.precdn!r}")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unsupported dtype {self.dtype}")
         return self

@@ -6,67 +6,35 @@ of einsums over whole levels:
 
   P2M   one (r, nq) matrix shared by every leaf (weights folded in)
   M2M   4 static (r, r) tensor-product transfers, level -> level-1
-  M2L   per level: translation-invariant ops for cos(m theta)/r (40 distinct
-        (r, r) matrices -- the redundancy the reference's per-node Cache
-        stores in GBs, Aniso.cpp:19-47) + the sigma-dependent smooth cache
+  M2L   per level: exp(-E) * cos(m theta)/r applied as one batched
+        contraction per parity class; E is the sigma-dependent cache
+        (fmm.smooth, mode-independent), cos(m theta)/r a tiny static table
   L2L   transpose of M2M
   L2T   transpose of P2M (no weights)
 
-plus the U-list near field: sigma-dependent smooth blocks and the
-translation-invariant real-kernel correction stencil (ops.near).  The real
+plus the U-list near field: expm1(-E) * cos(m theta)/r blocks fused with the
+translation-invariant refined+Duffy correction stencil (ops.near), and the
+m = 0 self-node diagonal sigma_hat * w (KernelFactory.cpp:260).  The real
 kernel's own U-list is *omitted*: the reference subtracts those coarse 3x3
 contributions right back out in nearRemoval (KernelFactory.cpp:445-478), so
-skipping both is exact (and tighter than the reference, whose FMM U-list and
-removal sets differ slightly by tree geometry).
+skipping both is exact.
+
+In the far field the smooth and singular kernels recombine:
+(expm1(-E) + 1) cos(m theta)/r = exp(-E) cos(m theta)/r, so M2L needs no
+separate "real" pass at all -- one fused contraction per level/class.
 """
 
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.geometry import Grid
-from ..ops.near import real_kernel_np
 from .cheb import cheb_grid_2d, m2m_tensor, p2m_matrix
 from .structure import TreeConfig, coarsest_m2l_level, vlist_offsets
-
-
-def build_real_m2l(
-    grid: Grid, tcfg: TreeConfig, np_cheb: int, modes, dtype=jnp.float32
-):
-    """TI M2L operators for cos(m theta)/r.
-
-    Returns dict level -> dict m -> dict class -> (n_off, r, r) jnp arrays.
-    """
-    out = {}
-    for level in range(coarsest_m2l_level(), tcfg.leaf_level + 1):
-        B = tcfg.box_size_squares(level)
-        cheb = (cheb_grid_2d(np_cheb) + 1.0) / 2.0 * B * grid.dx  # (r, 2)
-        lv = {m: {} for m in modes}
-        for px in (0, 1):
-            for py in (0, 1):
-                offs = vlist_offsets(px, py)
-                ops = {m: [] for m in modes}
-                for (di, dj) in offs:
-                    shift = np.array([di, dj]) * B * grid.dx
-                    src = cheb[None, :, :] + shift
-                    tgt = cheb[:, None, :]
-                    for m in modes:
-                        k = real_kernel_np(
-                            m, src[..., 0], src[..., 1], tgt[..., 0], tgt[..., 1]
-                        )
-                        ops[m].append(k)
-                for m in modes:
-                    lv[m][(px, py)] = jnp.asarray(
-                        np.stack(ops[m]), dtype=dtype
-                    )
-        out[level] = lv
-    return out
 
 
 def build_fmm_static(grid: Grid, np_cheb: int, dtype=jnp.float32) -> dict:
@@ -77,6 +45,64 @@ def build_fmm_static(grid: Grid, np_cheb: int, dtype=jnp.float32) -> dict:
         "p2m_w": jnp.asarray(p2m * wglob[None, :], dtype=dtype),
         "l2t": jnp.asarray(p2m.T, dtype=dtype),
         "m2m": jnp.asarray(m2m_tensor(np_cheb), dtype=dtype),
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def m2l_pair_geometry_np(np_cheb: int):
+    """Static V-list pair geometry in *box units*: (rr, ang), each
+    (4, 27, r, r) with class order c = 2*px + py.
+
+    Scale invariance: physical distance = rr * B * dx, angle unchanged, so
+    one table serves every level (multiply rr by B * dx at use sites).
+    """
+    r = np_cheb * np_cheb
+    cheb = (cheb_grid_2d(np_cheb) + 1.0) / 2.0       # box units [0, 1]
+    rr = np.empty((4, 27, r, r))
+    ang = np.empty((4, 27, r, r))
+    for px in (0, 1):
+        for py in (0, 1):
+            for oi, (di, dj) in enumerate(vlist_offsets(px, py)):
+                src = cheb[None, :, :] + np.array([di, dj])
+                tgt = cheb[:, None, :]
+                d = src - tgt                         # (r, r, 2)
+                rr[2 * px + py, oi] = np.hypot(d[..., 0], d[..., 1])
+                ang[2 * px + py, oi] = np.arctan2(d[..., 1], d[..., 0])
+    return rr, ang
+
+
+def build_mode_static(
+    grid: Grid, tcfg: TreeConfig, np_cheb: int, mode: int,
+    stencil: np.ndarray, dtype=jnp.float32,
+) -> dict:
+    """Per-mode static tables (geometry-only, tiny).
+
+    m2l_cosr: dict level -> (4, 27, r, r) = cos(m ang) / r_phys; multiplied
+      by exp(-E) at apply time this is the full far-field kernel.
+    near_cosrw: (3, 3, nq, nq) = cos(m ang) / r * w_src (0 at r = 0);
+      multiplied by expm1(-E) at apply time.
+    near_static: (3, 3, nq, nq) refined+Duffy stencil (ops.near), folded
+      into the same contraction.
+    """
+    from .smooth import near_pair_geometry
+
+    rr, ang = m2l_pair_geometry_np(np_cheb)
+    cosr = {}
+    for level in range(coarsest_m2l_level(), tcfg.leaf_level + 1):
+        B = tcfg.box_size_squares(level)
+        cosr[level] = jnp.asarray(
+            np.cos(mode * ang) / (rr * B * grid.dx), dtype=dtype
+        )
+    dxv, dyv, r = near_pair_geometry(grid)
+    wsrc = grid.w2d * 0.25 * grid.dx * grid.dx        # (nq_s,)
+    safe = np.where(r == 0.0, 1.0, r)
+    ncos = np.where(
+        r == 0.0, 0.0, np.cos(mode * np.arctan2(dyv, dxv)) / safe
+    ) * wsrc
+    return {
+        "m2l_cosr": cosr,
+        "near_cosrw": jnp.asarray(ncos, dtype=dtype),
+        "near_static": jnp.asarray(stencil, dtype=dtype),
     }
 
 
@@ -104,24 +130,6 @@ def parity_shift_table_np() -> np.ndarray:
     return out
 
 
-def fuse_m2l_level(real_lv: dict, smooth_lv: dict, dtype) -> jnp.ndarray:
-    """Fold the TI real ops into the per-box smooth cache at one level.
-
-    real_lv: {(px,py): (27, r, r)}; smooth_lv: {(px,py): (m2, m2, 27, r, r)}
-    -> (4, m2, m2, 27, r, r) with class order c = 2*px + py.  One fused
-    tensor per level makes the whole V-list translation a single batched
-    contraction on the MXU (cf. the reference's per-node cached dgemvs,
-    bbfmm.h:1041-1129).
-    """
-    per_class = []
-    for px in (0, 1):
-        for py in (0, 1):
-            s = jnp.asarray(smooth_lv[(px, py)], dtype=dtype)
-            rl = jnp.asarray(real_lv[(px, py)], dtype=dtype)
-            per_class.append(s + rl[None, None])
-    return jnp.stack(per_class)
-
-
 def _up_pass(static, leaf_level: int, u: jnp.ndarray):
     """Leaf charges -> multipoles per level: dict level -> (m, m, r).
 
@@ -139,23 +147,20 @@ def _up_pass(static, leaf_level: int, u: jnp.ndarray):
     return M
 
 
-def _m2l_level(M_l, fused_ops):
-    """V-list translation at one level -> local expansions (m, m, r).
+def _vlist_gather(M_l: jnp.ndarray):
+    """Parity-plane V-list gather at one level.
 
-    fused_ops: (4, m2, m2, 27, r, r).  Multipoles are split into the 4 box
+    Returns gsel: (4, 27, m2, m2, r) -- for each target parity class c, the
+    27 source-box coefficient planes.  Multipoles are split into the 4 box
     parity planes; every V-list source is then a <= 1-box shift of one plane
     (parity_shift_table_np), so the whole gather is 36 static zero-padded
-    slices -- a halo-1 stencil that shards cleanly over a device mesh (a
-    stride-2 window conv here needs a 5-wide halo, which GSPMD mis-shards
-    for small per-device box counts).  The translation itself is one batched
-    einsum per parity class over (offset, source-coeff).
+    slices (lazy XLA slices fused into the consuming contraction) -- a
+    halo-1 stencil that shards cleanly over a device mesh.  Shared by every
+    Fourier mode at this level.
     """
     m = M_l.shape[0]
     r = M_l.shape[-1]
     m2 = m // 2
-    # parity planes P[gx][gy][x, y] = M[2x+gx, 2y+gy], each zero-padded by
-    # one box and pre-sliced into its 9 shifts (views, nothing materalized
-    # until the stack below)
     P4 = M_l.reshape(m2, 2, m2, 2, r)
     shifted = [[None] * 2 for _ in range(2)]
     for gx in (0, 1):
@@ -166,31 +171,50 @@ def _m2l_level(M_l, fused_ops):
                 for a in range(3)
             ]
     tab = parity_shift_table_np()
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    shifted[tab[c, o, 0]][tab[c, o, 1]][tab[c, o, 2]][tab[c, o, 3]]
+                    for o in range(27)
+                ]
+            )
+            for c in range(4)
+        ]
+    )
+
+
+def _m2l_translate(E_l, cosr_l, gsel):
+    """Fused V-list translation at one level -> local expansions (m, m, r).
+
+    E_l: (4, m2, m2, 27, r, r); cosr_l: (4, 27, r, r); gsel from
+    _vlist_gather.  The fused far-field operator exp(-E) cos/r is formed
+    on the fly (fused elementwise on the cache read) and contracted in one
+    batched einsum per parity class.
+    """
+    m2 = E_l.shape[1]
+    r = E_l.shape[-1]
     outs = []
     for c in range(4):
-        gsel = jnp.stack(
-            [
-                shifted[tab[c, o, 0]][tab[c, o, 1]][tab[c, o, 2]][tab[c, o, 3]]
-                for o in range(tab.shape[1])
-            ]
-        )  # (27, m2, m2, r)
-        outs.append(jnp.einsum("xyoab,oxyb->xya", fused_ops[c], gsel))
+        op = jnp.exp(-E_l[c]) * cosr_l[c][None, None]
+        outs.append(jnp.einsum("xyoab,oxyb->xya", op, gsel[c]))
     # interleave the 4 parity classes: L[2x+px, 2y+py] = outs[2px+py][x, y]
     return (
         jnp.stack(outs)
         .reshape(2, 2, m2, m2, r)
         .transpose(2, 0, 3, 1, 4)
-        .reshape(m, m, r)
+        .reshape(2 * m2, 2 * m2, r)
     )
 
 
-def _down_pass(static, leaf_level: int, M, m2l_fused):
+def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr):
     """M2L + L2L sweep; one fused M2L and one L2L einsum per level."""
     m2m = static["m2m"]
     lo = coarsest_m2l_level()
     L = None
     for level in range(lo, leaf_level + 1):
-        T = _m2l_level(M[level], m2l_fused[level])
+        gsel = _vlist_gather(M[level])
+        T = _m2l_translate(m2l_E[level], m2l_cosr[level], gsel)
         if L is None:
             L = T
         else:
@@ -213,17 +237,75 @@ def _patch_3x3(u: jnp.ndarray) -> jnp.ndarray:
     return patches[0].reshape(q, 3, 3, u.shape[0], u.shape[1])
 
 
-def fmm_apply_mode(leaf_level: int, static, mode_data, u: jnp.ndarray):
+def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
+    """U-list near field: fused smooth blocks + static correction stencil.
+
+    block = expm1(-E_near) * cos(m theta)/r * w_src + static stencil; the
+    m = 0 self-node diagonal adds sigma_hat * w * u elementwise (reference
+    KernelFactory.cpp:260).
+    """
+    block = (
+        jnp.expm1(-caches["near_E"]) * mode_static["near_cosrw"]
+        + mode_static["near_static"][None, None]
+    )
+    out = jnp.einsum("ijabts,sabij->ijt", block, _patch_3x3(u))
+    if mode == 0:
+        out = out + caches["sigma_w"] * u
+    duffy = mode_static.get("duffy")
+    if duffy is not None:
+        out = out + jnp.einsum("ijts,ijs->ijt", duffy, u)
+    return out
+
+
+def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u):
     """Corrected mode matvec K_m u including the 1/2pi scaling.
 
-    mode_data: {'near': (sz,sz,3,3,nq,nq) fused smooth+real U-list blocks,
-                'm2l':  {level: (4, m2, m2, 27, r, r) fused V-list ops}}
-    (the reference's six-pass corrected matvec, main.cpp:78-119, collapsed
+    caches: {'near_E', 'm2l_E', 'sigma_w'[, 'duffy']} from
+    solver.operator._build_fmm_caches (sigma-dependent, mode-independent);
+    mode_static: per-mode static tables from build_mode_static.
+    (The reference's six-pass corrected matvec, main.cpp:78-119, collapsed
     into one up sweep, one fused translation per level, and one U-list
-    contraction).
+    contraction.)
     """
     M = _up_pass(static, leaf_level, u)
-    L = _down_pass(static, leaf_level, M, mode_data["m2l"])
+    L = _down_pass(
+        static, leaf_level, M, caches["m2l_E"], mode_static["m2l_cosr"]
+    )
     far = jnp.einsum("kc,ijc->ijk", static["l2t"], L)
-    near = jnp.einsum("ijabts,sabij->ijt", mode_data["near"], _patch_3x3(u))
+    near = _near_apply(caches, mode_static, mode, u)
+    return (far + near) / (2.0 * jnp.pi)
+
+
+def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u):
+    """K_d u for every mode d at once, sharing the up sweep and V-list
+    gathers across modes: returns (D, sz, sz, nq).
+
+    This is the building block of the one-program multi-mode forward
+    (aniso.m:121-156 issues a separate MEX `mapping` crossing per (i, j)
+    pair; here all modes of one charge ride one compiled sweep).
+    """
+    D = len(mode_statics)
+    M = _up_pass(static, leaf_level, u)
+    lo = coarsest_m2l_level()
+    m2m = static["m2m"]
+    L = None
+    for level in range(lo, leaf_level + 1):
+        gsel = _vlist_gather(M[level])
+        T = jnp.stack([
+            _m2l_translate(
+                caches["m2l_E"][level], ms["m2l_cosr"][level], gsel
+            )
+            for ms in mode_statics
+        ])
+        if L is None:
+            L = T
+        else:
+            m2 = L.shape[1]
+            r = L.shape[-1]
+            Lc = jnp.einsum("hgac,dxya->dxhygc", m2m, L)
+            L = Lc.reshape(D, 2 * m2, 2 * m2, r) + T
+    far = jnp.einsum("kc,dijc->dijk", static["l2t"], L)
+    near = jnp.stack([
+        _near_apply(caches, ms, d, u) for d, ms in enumerate(mode_statics)
+    ])
     return (far + near) / (2.0 * jnp.pi)

@@ -112,6 +112,92 @@ def build_dense_smooth(
     return jnp.concatenate(rows, axis=0)
 
 
+def build_dense_E(
+    grid: Grid,
+    coeffs: jnp.ndarray,
+    dtype=jnp.float64,
+    use_native: bool | None = None,
+) -> np.ndarray:
+    """All-pairs attenuation matrix E[t, s] (float64 numpy), computed ONCE.
+
+    This is the mode-independent part of the smooth kernel; computing it
+    once and applying per-mode factors elementwise removes the per-mode
+    line-integral recomputation (VERDICT weak item 4; the reference likewise
+    re-evaluates lineIntegral per kernel id, KernelFactory.cpp:240-267).
+    """
+    if use_native is None:
+        from .. import native
+        use_native = native.available()
+    pts = grid.flat_nodes()
+    n = pts.shape[0]
+    if use_native:
+        from .. import native
+        coeffs_np = np.asarray(coeffs, np.float64)
+        out = np.empty((n, n))
+        chunk = max(1, (1 << 22) // n)
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            tgt = np.repeat(pts[start:end], n, axis=0)
+            src = np.tile(pts, (end - start, 1))
+            out[start:end] = native.attenuation_batch(
+                grid, coeffs_np, src, tgt
+            ).reshape(end - start, n)
+        return out
+
+    ax = jnp.asarray(pts[:, 0], dtype=dtype)
+    ay = jnp.asarray(pts[:, 1], dtype=dtype)
+    if grid.sz <= 8:
+        li = make_line_integral(grid, grid.sz)
+    else:
+        li = make_line_integral(grid, 8, n_pieces=-(-grid.sz // 6))
+    pair_E = jax.jit(
+        jax.vmap(jax.vmap(li, in_axes=(None, None, None, 0, 0)),
+                 in_axes=(None, 0, 0, None, None))
+    )
+    rows = []
+    chunk = 256
+    c = coeffs.astype(dtype)
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        rows.append(np.asarray(pair_E(c, ax[start:end], ay[start:end], ax, ay)))
+    return np.vstack(rows).astype(np.float64)
+
+
+def build_dense_smooth_all(
+    grid: Grid,
+    modes,
+    coeffs: jnp.ndarray,
+    sigma_nodes: jnp.ndarray,
+    dtype=jnp.float64,
+    use_native: bool | None = None,
+) -> list:
+    """Per-mode (n, n) smooth matrices K_m[t, s] = smooth_m(s, t) * w[s],
+    sharing one all-pairs E (mode-independent).
+
+    coeffs must already be in local-basis form (callers pass the
+    compat-transformed coefficients under the global-basis quirk);
+    sigma_nodes supplies the m = 0 diagonal (KernelFactory.cpp:260).
+    """
+    E = build_dense_E(grid, coeffs, dtype=dtype, use_native=use_native)
+    pts = grid.flat_nodes()
+    w = grid.weights.reshape(-1)
+    d = pts[None, :, :] - pts[:, None, :]          # src - tgt, (n, n, 2)
+    r = np.hypot(d[..., 0], d[..., 1])
+    ang = np.arctan2(d[..., 1], d[..., 0])
+    safe = np.where(r == 0.0, 1.0, r)
+    base = np.expm1(-E) / safe
+    sig = np.asarray(sigma_nodes, np.float64).reshape(-1)
+    out = []
+    for m in modes:
+        k = base * np.cos(m * ang)
+        if m == 0:
+            np.fill_diagonal(k, sig)
+        else:
+            k[r == 0.0] = 0.0
+        out.append(jnp.asarray(k * w[None, :], dtype=dtype))
+    return out
+
+
 def dense_apply(k_smooth, k_real, stencil, duffy, grid: Grid, u: jnp.ndarray):
     """Full corrected mode matvec on (sz, sz, nq) charge -> (sz, sz, nq).
 

@@ -18,6 +18,21 @@ def project(grid: Grid, values: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bq,ijq->ijb", proj, values)
 
 
+def evaluate_at_nodes_np(grid: Grid, coeffs) -> "np.ndarray":
+    """Host (numpy) twin of evaluate_at_nodes for the *local* basis:
+    sigma_hat at the grid's own nodes from local-basis coefficients.
+
+    Used by set_coeff to stay off the device (remote-TPU D2H transfers are
+    expensive); under the global-basis quirk callers pass the
+    compat-transformed coefficients (ops.compat), which is equivalent.
+    """
+    import numpy as np
+    from ..core.legendre import basis2d_np
+
+    bt = basis2d_np(grid.deg, grid.qx, grid.qy) / grid.norms[:, None]
+    return np.einsum("bq,ijb->ijq", bt, np.asarray(coeffs))
+
+
 def evaluate_at_nodes(grid: Grid, coeffs: jnp.ndarray,
                       compat_global_basis: bool = False) -> jnp.ndarray:
     """sigma_hat at the grid's own nodes, (sz, sz, deg^2).

@@ -65,11 +65,11 @@ def _divisible(shape, mesh: Mesh, d0: int, d1: int) -> bool:
     )
 
 
-def shard_mode_data(mesh: Mesh, mode_data: dict) -> dict:
-    """Place a solver mode-data pytree: per-square / per-box arrays sharded
-    over their spatial dims where divisible, small coarse-level operators
-    replicated.  Fused M2L tensors (4, m2, m2, n_off, r, r) carry the parity
-    class first, so their spatial dims are 1 and 2."""
+def shard_pytree(mesh: Mesh, tree):
+    """Place a solver cache / mode-static pytree: per-square / per-box
+    arrays sharded over their spatial dims where divisible, small static
+    operators replicated.  M2L E tensors (4, m2, m2, 27, r, r) carry the
+    parity class first, so their spatial dims are 1 and 2."""
 
     def place(x):
         x = jnp.asarray(x)
@@ -81,25 +81,33 @@ def shard_mode_data(mesh: Mesh, mode_data: dict) -> dict:
             return shard_field(mesh, x)
         return replicate(mesh, x)
 
-    return jax.tree_util.tree_map(place, mode_data)
+    return jax.tree_util.tree_map(place, tree)
+
+
+# kept name for round-1 callers
+shard_mode_data = shard_pytree
 
 
 def sharded_solver(solver, mesh: Mesh):
     """Wrap a TransportSolver (fmm backend) for mesh execution.
 
-    Returns (apply_fn, mode_data_sharded) where apply_fn(mode_data, u) is
-    the jitted corrected matvec with sharded in/out.
+    Returns (apply_fn, caches, mode_statics) where apply_fn(caches, ms, u)
+    is the jitted corrected mode-m matvec (m = the python index of ms in
+    mode_statics) with sharded in/out.
     """
     from ..fmm.apply import fmm_apply_mode
 
     leaf = solver._tcfg.leaf_level
     static = {k: replicate(mesh, v) for k, v in solver._fmm_static.items()}
-    data = [shard_mode_data(mesh, md) for md in solver._mode_data]
+    caches = shard_pytree(mesh, solver._caches)
+    mode_statics = [shard_pytree(mesh, ms) for ms in solver._mode_statics]
     fspec = NamedSharding(mesh, P("x", "y"))
 
-    @jax.jit
-    def apply_fn(mode_data, u):
-        out = fmm_apply_mode(leaf, static, mode_data, u)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def apply_fn(cch, ms, mode, u):
+        out = fmm_apply_mode(leaf, static, cch, ms, mode, u)
         return jax.lax.with_sharding_constraint(out, fspec)
 
-    return apply_fn, data
+    return apply_fn, caches, mode_statics

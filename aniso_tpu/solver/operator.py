@@ -12,6 +12,20 @@ Forward operators:
 
 Backends: 'dense' materializes the all-pairs matrices (exact; for validation
 and small grids), 'fmm' uses the implicit-quadtree Chebyshev fast path.
+
+Round-2 redesign: set_coeff builds *mode-independent* attenuation caches
+(E tensors, fmm.smooth) once; per-mode kernels are tiny static factor tables
+folded in at apply time.  The multi-mode forward/rhs are ONE compiled
+program each: all (charge, mode) translations share the up sweep and V-list
+gathers (fmm.apply.fmm_apply_all_modes), and the mode coupling
+sum_j chi_|j| K_|i-j| is a static (N, N, D) combination tensor -- unlike the
+reference MATLAB path, which crosses the MEX boundary N*(2N-1) times per
+GMRES iteration (aniso.m:141-156).
+
+compat_global_basis (the reference's global-coordinate basis evaluation
+quirk, KernelFactory.cpp:180-205) is supported by BOTH backends via the
+exact per-square coefficient transform ops.compat.to_local_equivalent --
+the fast path stays translation invariant.
 """
 
 from __future__ import annotations
@@ -26,10 +40,27 @@ import numpy as np
 from ..core.config import SolverConfig
 from ..core.geometry import Grid, make_grid
 from ..ops import dense as dense_ops
-from ..ops.fields import project
+from ..ops.compat import to_local_equivalent
+from ..ops.fields import project, evaluate_at_nodes
 from ..ops.near import build_near_stencil
-from ..ops.stencil import apply_near_stencil, apply_per_square
+from ..utils.logging import log
 from .gmres import gmres, GmresResult
+
+
+def _mode_coupling(N: int, chi: np.ndarray, weighted: bool) -> np.ndarray:
+    """C[i, a, d] such that out_i = sum_{a,d} C[i,a,d] K_d(u_a).
+
+    Encodes the reference mode loops (aniso.m:121-156): j runs over
+    -(N-1)..N-1 with a = |j|, d = |i - j|; `weighted` multiplies chi_|j|
+    (forward/mforward) -- rhs uses chi = 1.
+    """
+    D = 2 * N - 1
+    C = np.zeros((N, N, D))
+    for i in range(N):
+        for j in range(-(N - 1), N):
+            w = chi[abs(j)] if weighted else 1.0
+            C[i, abs(j), abs(i - j)] += w
+    return C
 
 
 class TransportSolver:
@@ -56,15 +87,18 @@ class TransportSolver:
             chi = np.array([1.0] + [0.0] * (N - 1))
         else:
             chi = (g ** np.arange(N) - g ** N) / (1.0 - g ** N)
-        self.chi = jnp.asarray(chi, dtype=self.dtype)
-
-        if backend == "fmm" and cfg.compat_global_basis:
-            raise NotImplementedError(
-                "compat_global_basis is only supported by the dense backend"
-            )
+        self.chi = chi
+        self._C_fwd = jnp.asarray(
+            _mode_coupling(N, chi, True), dtype=self.dtype
+        )
+        self._C_rhs = jnp.asarray(
+            _mode_coupling(N, chi, False), dtype=self.dtype
+        )
 
         # geometry-only near stencils per mode; the FMM path omits the
-        # real-kernel U list, so its stencil carries no removal term
+        # real-kernel U list, so its stencil carries no removal term.
+        # Kept as host numpy: device round-trips at init are pure overhead
+        # (the first D2H through a remote-TPU tunnel costs seconds).
         self._stencils = []
         self._duffys = []
         for m in range(self.n_modes):
@@ -72,112 +106,152 @@ class TransportSolver:
                 self.grid, m, cfg.sing_rule, cfg.compat_global_basis,
                 include_removal=(backend == "dense"),
             )
-            self._stencils.append(jnp.asarray(s, dtype=self.dtype))
-            self._duffys.append(
-                None if d is None else jnp.asarray(d, dtype=self.dtype)
-            )
+            self._stencils.append(np.asarray(s))
+            self._duffys.append(None if d is None else np.asarray(d))
 
         self._k_real = None
         self._k_smooth = None
         self.sigma_s = None
         self.sigma_t = None
         self.sigma_t_coeff = None
+        self._caches = None
 
         if backend == "fmm":
             from ..fmm.structure import tree_config
-            from ..fmm.apply import build_fmm_static, build_real_m2l
+            from ..fmm.apply import build_fmm_static, build_mode_static
 
             self._tcfg = tree_config(cfg.domain_size)
             self._fmm_static = build_fmm_static(
                 self.grid, cfg.np_cheb, dtype=self.dtype
             )
-            self._m2l_real = build_real_m2l(
-                self.grid, self._tcfg, cfg.np_cheb,
-                list(range(self.n_modes)), dtype=self.dtype,
+            self._mode_statics = []
+            for m in range(self.n_modes):
+                ms = build_mode_static(
+                    self.grid, self._tcfg, cfg.np_cheb, m,
+                    self._stencils[m], dtype=self.dtype,
+                )
+                if self._duffys[m] is not None:
+                    ms["duffy"] = jnp.asarray(
+                        self._duffys[m], dtype=self.dtype
+                    )
+                self._mode_statics.append(ms)
+            self._make_fmm_jits()
+        elif backend != "dense":
+            raise NotImplementedError(backend)
+
+    def _make_fmm_jits(self):
+        from ..fmm.apply import fmm_apply_mode, fmm_apply_all_modes
+
+        leaf = self._tcfg.leaf_level
+        static = self._fmm_static
+        N = self.cfg.kernel_size
+        shape = (N,) + self.grid.nodes_x.shape
+
+        def apply_one(caches, ms, u, m):
+            return fmm_apply_mode(leaf, static, caches, ms, m, u)
+
+        self._apply_jit = {
+            m: jax.jit(functools.partial(apply_one, m=m))
+            for m in range(self.n_modes)
+        }
+
+        def all_modes(caches, mode_statics, u):
+            return fmm_apply_all_modes(leaf, static, caches, mode_statics, u)
+
+        def forward_impl(caches, mode_statics, C_fwd, sigma_s, u):
+            u = u.reshape(shape)
+            v = sigma_s[None] * u
+            Kall = jnp.stack(
+                [all_modes(caches, mode_statics, v[a]) for a in range(N)]
+            )  # (N, D, sz, sz, nq)
+            return u - jnp.einsum("iad,adxyk->ixyk", C_fwd, Kall)
+
+        def rhs_impl(caches, mode_statics, C_rhs, q):
+            q = q.reshape(shape)
+            Kall = jnp.stack(
+                [all_modes(caches, mode_statics, q[a]) for a in range(N)]
             )
-            self._mode_data = None
-            self._fmm_jit = None
+            return jnp.einsum("iad,adxyk->ixyk", C_rhs, Kall)
+
+        self._forward_jit = jax.jit(forward_impl)
+        self._rhs_jit = jax.jit(rhs_impl)
 
     # -- coefficient setting (reference AnisoWrapper 'setCoeff' + 'cache') --
 
     def set_coeff(self, sigma_s: np.ndarray, sigma_t: np.ndarray):
         """sigma_s / sigma_t: nodal fields shaped (sz, sz, nq) (or flat).
 
-        Triggers the sigma-dependent precompute (the reference's interpolation
-        + cache passes, AnisoWrapper.cpp:46-90).
+        Triggers the sigma-dependent precompute (the reference's
+        interpolation + cache passes, AnisoWrapper.cpp:46-90).  All caches
+        are mode-independent E tensors; cost does not scale with kernelSize.
         """
         g = self.grid
+        from ..core.geometry import project_field
+        from ..ops.fields import evaluate_at_nodes_np
+
         shape = (g.sz, g.sz, g.nq)
-        self.sigma_s = jnp.asarray(sigma_s, dtype=self.dtype).reshape(shape)
-        self.sigma_t = jnp.asarray(sigma_t, dtype=self.dtype).reshape(shape)
-        self.sigma_t_coeff = project(g, self.sigma_t)
+        # the whole sigma pipeline (projection, compat transform, node
+        # evaluation) runs on the host in f64: it is tiny, and keeping it
+        # off the device avoids remote-TPU D2H transfers in the hot setup
+        sig_s_np = np.asarray(sigma_s, np.float64).reshape(shape)
+        sig_t_np = np.asarray(sigma_t, np.float64).reshape(shape)
+        self.sigma_s = jnp.asarray(sig_s_np, dtype=self.dtype)
+        self.sigma_t = jnp.asarray(sig_t_np, dtype=self.dtype)
+        coeffs_np = project_field(g, sig_t_np)
+        self.sigma_t_coeff = jnp.asarray(coeffs_np, dtype=self.dtype)
+        # under the reference's global-basis quirk, evaluate with transformed
+        # coefficients in the (translation-invariant) local basis
+        if self.cfg.compat_global_basis:
+            coeffs_np = to_local_equivalent(g, coeffs_np)
+        self._coeffs_np = coeffs_np
+        sigma_nodes = evaluate_at_nodes_np(g, coeffs_np)
 
         if self.backend_name == "dense":
             self._k_real = [
                 dense_ops.build_dense_real(g, m, dtype=self.dtype)
                 for m in range(self.n_modes)
             ]
-            self._k_smooth = [
-                dense_ops.build_dense_smooth(
-                    g, m, self.sigma_t_coeff,
-                    compat_global_basis=self.cfg.compat_global_basis,
-                    dtype=self.dtype,
-                )
-                for m in range(self.n_modes)
-            ]
-        elif self.backend_name == "fmm":
-            self._build_fmm_caches()
+            self._k_smooth = dense_ops.build_dense_smooth_all(
+                g, range(self.n_modes), coeffs_np, sigma_nodes,
+                dtype=self.dtype,
+            )
         else:
-            raise NotImplementedError(self.backend_name)
+            self._build_fmm_caches(coeffs_np, sigma_nodes)
 
-    def _build_fmm_caches(self):
-        from ..fmm.apply import fmm_apply_mode, fuse_m2l_level
-        from ..fmm.smooth import (
-            build_near_smooth_blocks,
-            build_m2l_smooth_cache,
-        )
-        from ..ops.fields import evaluate_at_nodes
+    def _build_fmm_caches(self, coeffs_np, sigma_nodes):
+        from ..fmm.smooth import build_near_E, build_m2l_E, m2l_cache_bytes
 
         g = self.grid
-        modes = list(range(self.n_modes))
-        sigma_nodes = evaluate_at_nodes(g, self.sigma_t_coeff)
-        near_smooth = build_near_smooth_blocks(
-            g, self.sigma_t_coeff, modes, sigma_nodes, dtype=self.dtype
+        coeffs_dev = jnp.asarray(coeffs_np, dtype=self.dtype)
+        w_glob = g.w2d * 0.25 * g.dx * g.dx
+        caches = {
+            "near_E": build_near_E(g, coeffs_dev, dtype=self.dtype),
+            "m2l_E": build_m2l_E(
+                g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
+                dtype=self.dtype, coeffs_np=coeffs_np,
+            ),
+            "sigma_w": jnp.asarray(sigma_nodes * w_glob, dtype=self.dtype),
+        }
+        mb = (
+            m2l_cache_bytes(caches["m2l_E"])
+            + caches["near_E"].size * caches["near_E"].dtype.itemsize
+        ) / 1e6
+        log.info(
+            f"fmm E caches: {mb:.1f} MB (mode-independent; "
+            f"{self.n_modes} mode(s) share them)"
         )
-        m2l_smooth = build_m2l_smooth_cache(
-            g, self._tcfg, self.cfg.np_cheb, self.sigma_t_coeff, modes,
-            dtype=self.dtype,
-        )
-        # fuse the TI real operators into the sigma-dependent caches once at
-        # set_coeff time so every apply is a minimal batched-einsum graph
-        self._mode_data = []
-        for m in modes:
-            self._mode_data.append(
-                {
-                    "near": near_smooth[m] + self._stencils[m][None, None],
-                    "m2l": {
-                        lv: fuse_m2l_level(
-                            self._m2l_real[lv][m], m2l_smooth[lv][m],
-                            self.dtype,
-                        )
-                        for lv in m2l_smooth
-                    },
-                }
-            )
-        leaf = self._tcfg.leaf_level
-        static = self._fmm_static
-        self._fmm_jit = jax.jit(
-            lambda data, u: fmm_apply_mode(leaf, static, data, u)
-        )
+        self._caches = jax.block_until_ready(caches)
 
     # -- corrected matvec (reference MEX 'mapping') --
 
     def apply_mode(self, m: int, u: jnp.ndarray) -> jnp.ndarray:
         """K_m u on (sz, sz, nq) charge (AnisoWrapper.cpp:92-136)."""
         if self.backend_name == "fmm":
-            if self._mode_data is None:
+            if self._caches is None:
                 raise RuntimeError("call set_coeff first")
-            return self._fmm_jit(self._mode_data[m], u)
+            return self._apply_jit[m](
+                self._caches, self._mode_statics[m], u
+            )
         if self._k_smooth is None:
             raise RuntimeError("call set_coeff first")
         return dense_ops.dense_apply(
@@ -191,6 +265,10 @@ class TransportSolver:
         """Multi-mode rhs (aniso.m:121-137).  charge: (N, sz, sz, nq)."""
         N = self.cfg.kernel_size
         charge = charge.reshape((N,) + self.grid.nodes_x.shape)
+        if self.backend_name == "fmm":
+            return self._rhs_jit(
+                self._caches, self._mode_statics, self._C_rhs, charge
+            )
         out = []
         for i in range(N):
             acc = jnp.zeros_like(charge[0])
@@ -204,6 +282,11 @@ class TransportSolver:
         N = self.cfg.kernel_size
         shape = (N,) + self.grid.nodes_x.shape
         u = u.reshape(shape)
+        if self.backend_name == "fmm":
+            return self._forward_jit(
+                self._caches, self._mode_statics, self._C_fwd,
+                self.sigma_s, u,
+            )
         v = self.sigma_s[None] * u  # (N, sz, sz, nq)
         # T[a][d] = K_d(sigma_s u_a), computed once per needed pair
         needed = {}

@@ -48,11 +48,15 @@ def main():
         dtype=jnp.float32,
     )
     static = solver._fmm_static
-    md = solver._mode_data[0]
+    caches = solver._caches
+    ms = solver._mode_statics[0]
     leaf = solver._tcfg.leaf_level
 
     reps = int(os.environ.get("PROFILE_REPS", "10"))
 
+    # NOTE: per-phase wall times include a fixed per-dispatch latency
+    # (~2.5 ms through the remote-TPU tunnel); the chained full-apply row
+    # is the true amortized per-matvec cost (what a jitted GMRES pays).
     upf = jax.jit(lambda u: A._up_pass(static, leaf, u))
     M = {k: jax.block_until_ready(v) for k, v in upf(u).items()}
     t_up = timeit(upf, u, reps=reps)
@@ -60,29 +64,41 @@ def main():
     down = jax.jit(
         lambda M: jnp.einsum(
             "kc,ijc->ijk", static["l2t"],
-            A._down_pass(static, leaf, M, md["m2l"]),
+            A._down_pass(static, leaf, M, caches["m2l_E"], ms["m2l_cosr"]),
         )
     )
     t_down = timeit(down, M, reps=reps)
-    t_l2t = 0.0
 
-    near = jax.jit(
-        lambda u: jnp.einsum("ijabts,sabij->ijt", md["near"], A._patch_3x3(u))
-    )
+    near = jax.jit(lambda u: A._near_apply(caches, ms, 0, u))
     t_near = timeit(near, u, reps=reps)
 
-    full = jax.jit(lambda u: A.fmm_apply_mode(leaf, static, md, u))
+    full = jax.jit(lambda u: A.fmm_apply_mode(leaf, static, caches, ms, 0, u))
     t_full = timeit(full, u, reps=reps)
 
-    m2l_bytes = sum(int(np.prod(v.shape)) * 4 for v in md["m2l"].values())
-    near_bytes = int(np.prod(md["near"].shape)) * 4
-    print(f"up    {t_up*1e3:8.3f} ms")
-    print(f"down  {t_down*1e3:8.3f} ms   (m2l cache {m2l_bytes/1e6:.1f} MB)")
-    print(f"l2t   {t_l2t*1e3:8.3f} ms")
-    print(f"near  {t_near*1e3:8.3f} ms   (near cache {near_bytes/1e6:.1f} MB)")
-    print(f"full  {t_full*1e3:8.3f} ms")
-    hbm = (m2l_bytes + near_bytes) / t_full / 1e9
-    print(f"effective cache bandwidth {hbm:.1f} GB/s")
+    K = 50
+
+    @jax.jit
+    def chain(u):
+        def body(v, _):
+            return A.fmm_apply_mode(leaf, static, caches, ms, 0, v), None
+        v, _ = jax.lax.scan(body, u, None, length=K)
+        return v
+
+    chain(u).block_until_ready()
+    t0 = time.perf_counter()
+    chain(u).block_until_ready()
+    t_chain = (time.perf_counter() - t0) / K
+
+    m2l_bytes = sum(int(np.prod(v.shape)) * 4 for v in caches["m2l_E"].values())
+    near_bytes = int(np.prod(caches["near_E"].shape)) * 4
+    print(f"up      {t_up*1e3:8.3f} ms")
+    print(f"down    {t_down*1e3:8.3f} ms   (m2l E cache {m2l_bytes/1e6:.1f} MB)")
+    print(f"near    {t_near*1e3:8.3f} ms   (near E cache {near_bytes/1e6:.1f} MB)")
+    print(f"full    {t_full*1e3:8.3f} ms   (single dispatch, latency-bound)")
+    print(f"chained {t_chain*1e3:8.3f} ms/apply over {K} scanned applies")
+    hbm = (m2l_bytes + near_bytes) / t_chain / 1e9
+    print(f"effective cache bandwidth {hbm:.1f} GB/s "
+          f"({g.n_nodes / t_chain / 1e6:.1f} M nodes/s)")
 
 
 if __name__ == "__main__":
