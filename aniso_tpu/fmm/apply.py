@@ -34,6 +34,12 @@ import numpy as np
 
 from ..core.geometry import Grid
 from .cheb import cheb_grid_2d, m2m_tensor, p2m_matrix
+
+# TPU f32 matmuls default to bf16 multiplies; every contraction here is
+# accuracy-critical (the operator itself), so pin full-f32 (6-pass) MXU
+# arithmetic.  Measured: without this, a chip GMRES solve converges by its
+# internal estimate while the true residual stalls at ~1e-2.
+HIGHEST = jax.lax.Precision.HIGHEST
 from .structure import TreeConfig, coarsest_m2l_level, vlist_offsets
 
 
@@ -137,13 +143,13 @@ def _up_pass(static, leaf_level: int, u: jnp.ndarray):
     the (2, 2, r, r) m2m tensor acting on (m2, 2, m2, 2, r) children.
     """
     m2m = static["m2m"]
-    M = {leaf_level: jnp.einsum("ck,ijk->ijc", static["p2m_w"], u)}
+    M = {leaf_level: jnp.einsum("ck,ijk->ijc", static["p2m_w"], u, precision=HIGHEST)}
     for level in range(leaf_level, coarsest_m2l_level(), -1):
         child = M[level]
         m2 = child.shape[0] // 2
         r = child.shape[-1]
         c4 = child.reshape(m2, 2, m2, 2, r)
-        M[level - 1] = jnp.einsum("hgac,xhygc->xya", m2m, c4)
+        M[level - 1] = jnp.einsum("hgac,xhygc->xya", m2m, c4, precision=HIGHEST)
     return M
 
 
@@ -197,7 +203,7 @@ def _m2l_translate(E_l, cosr_l, gsel):
     outs = []
     for c in range(4):
         op = jnp.exp(-E_l[c]) * cosr_l[c][None, None]
-        outs.append(jnp.einsum("xyoab,oxyb->xya", op, gsel[c]))
+        outs.append(jnp.einsum("xyoab,oxyb->xya", op, gsel[c], precision=HIGHEST))
     # interleave the 4 parity classes: L[2x+px, 2y+py] = outs[2px+py][x, y]
     return (
         jnp.stack(outs)
@@ -220,7 +226,7 @@ def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr):
         else:
             m2 = L.shape[0]
             r = L.shape[-1]
-            Lc = jnp.einsum("hgac,xya->xhygc", m2m, L)
+            Lc = jnp.einsum("hgac,xya->xhygc", m2m, L, precision=HIGHEST)
             L = Lc.reshape(2 * m2, 2 * m2, r) + T
     return L
 
@@ -233,6 +239,7 @@ def _patch_3x3(u: jnp.ndarray) -> jnp.ndarray:
     patches = jax.lax.conv_general_dilated_patches(
         inp, filter_shape=(3, 3), window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
+        precision=HIGHEST,
     )  # (1, q*9, sz, sz)
     return patches[0].reshape(q, 3, 3, u.shape[0], u.shape[1])
 
@@ -248,12 +255,14 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
         jnp.expm1(-caches["near_E"]) * mode_static["near_cosrw"]
         + mode_static["near_static"][None, None]
     )
-    out = jnp.einsum("ijabts,sabij->ijt", block, _patch_3x3(u))
+    out = jnp.einsum(
+        "ijabts,sabij->ijt", block, _patch_3x3(u), precision=HIGHEST
+    )
     if mode == 0:
         out = out + caches["sigma_w"] * u
     duffy = mode_static.get("duffy")
     if duffy is not None:
-        out = out + jnp.einsum("ijts,ijs->ijt", duffy, u)
+        out = out + jnp.einsum("ijts,ijs->ijt", duffy, u, precision=HIGHEST)
     return out
 
 
@@ -271,7 +280,7 @@ def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u):
     L = _down_pass(
         static, leaf_level, M, caches["m2l_E"], mode_static["m2l_cosr"]
     )
-    far = jnp.einsum("kc,ijc->ijk", static["l2t"], L)
+    far = jnp.einsum("kc,ijc->ijk", static["l2t"], L, precision=HIGHEST)
     near = _near_apply(caches, mode_static, mode, u)
     return (far + near) / (2.0 * jnp.pi)
 
@@ -302,9 +311,9 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u):
         else:
             m2 = L.shape[1]
             r = L.shape[-1]
-            Lc = jnp.einsum("hgac,dxya->dxhygc", m2m, L)
+            Lc = jnp.einsum("hgac,dxya->dxhygc", m2m, L, precision=HIGHEST)
             L = Lc.reshape(D, 2 * m2, 2 * m2, r) + T
-    far = jnp.einsum("kc,dijc->dijk", static["l2t"], L)
+    far = jnp.einsum("kc,dijc->dijk", static["l2t"], L, precision=HIGHEST)
     near = jnp.stack([
         _near_apply(caches, ms, d, u) for d, ms in enumerate(mode_statics)
     ])

@@ -45,6 +45,10 @@ from ..ops.segment_stencil import near_pair_weights, segment_weights
 from ..ops.attenuation import make_line_integral
 from ..utils.logging import log
 from .cheb import cheb_grid_2d
+
+# full-f32 MXU arithmetic: E feeds exp()/expm1() in the operator; bf16
+# multiplies (the TPU f32 default) would perturb the operator by ~1e-3
+HIGHEST = jax.lax.Precision.HIGHEST
 from .structure import TreeConfig, coarsest_m2l_level, vlist_offsets
 
 
@@ -122,9 +126,9 @@ def _near_E_einsum(W: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
     pad = jnp.pad(coeffs, ((1, 1), (1, 1), (0, 0)))
     patch = jax.lax.conv_general_dilated_patches(
         pad.transpose(2, 0, 1)[None], filter_shape=(3, 3),
-        window_strides=(1, 1), padding="VALID",
+        window_strides=(1, 1), padding="VALID", precision=HIGHEST,
     )[0].reshape(nq, 3, 3, sz, sz)
-    return jnp.einsum("abtscdq,qcdij->ijabts", W, patch)
+    return jnp.einsum("abtscdq,qcdij->ijabts", W, patch, precision=HIGHEST)
 
 
 def build_near_E(grid: Grid, coeffs: jnp.ndarray, dtype=jnp.float32):
@@ -149,11 +153,11 @@ def _fine_E_class(W: jnp.ndarray, padded: jnp.ndarray, B: int) -> jnp.ndarray:
     nq = padded.shape[-1]
     patch = jax.lax.conv_general_dilated_patches(
         padded.transpose(2, 0, 1)[None], filter_shape=(PX, PX),
-        window_strides=(2 * B, 2 * B), padding="VALID",
+        window_strides=(2 * B, 2 * B), padding="VALID", precision=HIGHEST,
     )  # (1, nq*PX*PX, m2, m2)
     m2 = patch.shape[-1]
     patch = patch[0].reshape(nq, PX, PX, m2, m2)
-    return jnp.einsum("pabq,qabxy->xyp", W, patch)
+    return jnp.einsum("pabq,qabxy->xyp", W, patch, precision=HIGHEST)
 
 
 def build_m2l_E_fine(

@@ -211,7 +211,11 @@ def dense_apply(k_smooth, k_real, stencil, duffy, grid: Grid, u: jnp.ndarray):
     # equivalent to the reference applying the unweighted kernel to
     # scaledFunction = charge .* weights (main.cpp:86-89)
     uf = u.reshape(-1)
-    out = (k_smooth @ uf + k_real @ uf).reshape(sz, sz, nq)
+    prec = jax.lax.Precision.HIGHEST
+    out = (
+        jnp.einsum("ts,s->t", k_smooth, uf, precision=prec)
+        + jnp.einsum("ts,s->t", k_real, uf, precision=prec)
+    ).reshape(sz, sz, nq)
     out = out + apply_near_stencil(stencil, u)
     if duffy is not None:
         out = out + apply_per_square(duffy, u)

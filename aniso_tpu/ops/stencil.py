@@ -26,10 +26,12 @@ def apply_near_stencil(stencil: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=u.dtype,
+        precision=lax.Precision.HIGHEST,
     )
     return out[0].transpose(1, 2, 0)
 
 
 def apply_per_square(mats: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Per-square (sz, sz, nq, nq) block-diagonal application (compat Duffy)."""
-    return jnp.einsum("ijts,ijs->ijt", mats, u)
+    return jnp.einsum("ijts,ijs->ijt", mats, u,
+                      precision=lax.Precision.HIGHEST)

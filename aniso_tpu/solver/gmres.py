@@ -30,6 +30,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# full-f32 MXU arithmetic for the Arnoldi GEMVs: with the TPU bf16-multiply
+# default the basis loses orthogonality at ~1e-3 and the computed solution
+# is wrong while the Givens residual estimate still "converges"
+HIGHEST = lax.Precision.HIGHEST
+
+
+def _mv(A, x):
+    return jnp.einsum("ij,j->i", A, x, precision=HIGHEST)
+
 
 class GmresResult(NamedTuple):
     x: jnp.ndarray
@@ -128,10 +137,10 @@ def gmres(
             w = A(V[i])
             # CGS2: mask rows > i
             mask = (jnp.arange(m + 1) <= i).astype(dtype)
-            h1 = (V @ w) * mask
-            w = w - V.T @ h1
-            h2 = (V @ w) * mask
-            w = w - V.T @ h2
+            h1 = _mv(V, w) * mask
+            w = w - _mv(V.T, h1)
+            h2 = _mv(V, w) * mask
+            w = w - _mv(V.T, h2)
             h = h1 + h2
             wnorm = jnp.linalg.norm(w)
             V = V.at[i + 1].set(w / jnp.where(wnorm == 0.0, 1.0, wnorm))
@@ -180,7 +189,7 @@ def gmres(
         Hm = jnp.where(diag_mask[None, :] | (idx[:, None] == idx[None, :]), Hm, 0.0)
         rhs = jnp.where(diag_mask, s[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
-        x_new = x + V[:m].T @ y
+        x_new = x + _mv(V[:m].T, y)
 
         r_new = b - A(x_new)
         beta_new = jnp.linalg.norm(r_new)

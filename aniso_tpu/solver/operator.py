@@ -164,14 +164,16 @@ class TransportSolver:
             Kall = jnp.stack(
                 [all_modes(caches, mode_statics, v[a]) for a in range(N)]
             )  # (N, D, sz, sz, nq)
-            return u - jnp.einsum("iad,adxyk->ixyk", C_fwd, Kall)
+            return u - jnp.einsum("iad,adxyk->ixyk", C_fwd, Kall,
+                                  precision=jax.lax.Precision.HIGHEST)
 
         def rhs_impl(caches, mode_statics, C_rhs, q):
             q = q.reshape(shape)
             Kall = jnp.stack(
                 [all_modes(caches, mode_statics, q[a]) for a in range(N)]
             )
-            return jnp.einsum("iad,adxyk->ixyk", C_rhs, Kall)
+            return jnp.einsum("iad,adxyk->ixyk", C_rhs, Kall,
+                              precision=jax.lax.Precision.HIGHEST)
 
         self._forward_jit = jax.jit(forward_impl)
         self._rhs_jit = jax.jit(rhs_impl)
