@@ -35,6 +35,11 @@ class SolverConfig:
     io: bool = True
     # numerics
     dtype: str = "float64"        # float32 | float64
+    # mixed-precision iterative refinement (solver.refine): f32 inner GMRES
+    # on the MXU + f64 outer residuals; reaches the reference's 1e-12 target
+    # on hardware whose fast path is f32.  Requires dtype=float32 and
+    # jax_enable_x64.
+    refine: bool = False
     # reference-compat: evaluate per-square Legendre expansions at *global*
     # coordinates like the reference does (KernelFactory.cpp:174-207,
     # :828-860) instead of the mathematically consistent local coordinates.
@@ -62,6 +67,11 @@ class SolverConfig:
             raise ValueError(f"unsupported preconditioner {self.precdn!r}")
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unsupported dtype {self.dtype}")
+        if self.refine and self.dtype != "float32":
+            raise ValueError(
+                "refine=True is the mixed f32-inner/f64-outer mode; "
+                "set dtype='float32' (a full-f64 solve needs no refinement)"
+            )
         return self
 
     def to_dict(self) -> dict:
@@ -83,6 +93,7 @@ _KEYMAP = {
     "maxIter": ("max_iter", int),
     "tol": ("tol", float),
     "dtype": ("dtype", str),
+    "Refine": ("refine", lambda s: bool(int(s))),
 }
 
 

@@ -116,6 +116,17 @@ class TransportSolver:
         self.sigma_t_coeff = None
         self._caches = None
 
+        if cfg.refine:
+            if backend != "fmm":
+                raise NotImplementedError(
+                    "refine=True needs the fmm backend (dense runs f64 as-is)"
+                )
+            if jax.dtypes.canonicalize_dtype(jnp.float64) != jnp.float64:
+                raise RuntimeError(
+                    "refine=True needs jax.config.update('jax_enable_x64', "
+                    "True) before solver construction"
+                )
+
         if backend == "fmm":
             from ..fmm.structure import tree_config
             from ..fmm.apply import build_fmm_static, build_mode_static
@@ -124,17 +135,32 @@ class TransportSolver:
             self._fmm_static = build_fmm_static(
                 self.grid, cfg.np_cheb, dtype=self.dtype
             )
-            self._mode_statics = []
-            for m in range(self.n_modes):
-                ms = build_mode_static(
-                    self.grid, self._tcfg, cfg.np_cheb, m,
-                    self._stencils[m], dtype=self.dtype,
-                )
-                if self._duffys[m] is not None:
-                    ms["duffy"] = jnp.asarray(
-                        self._duffys[m], dtype=self.dtype
+
+            def _statics_for(dtype):
+                out = []
+                for m in range(self.n_modes):
+                    ms = build_mode_static(
+                        self.grid, self._tcfg, cfg.np_cheb, m,
+                        self._stencils[m], dtype=dtype,
                     )
-                self._mode_statics.append(ms)
+                    if self._duffys[m] is not None:
+                        ms["duffy"] = jnp.asarray(self._duffys[m], dtype=dtype)
+                    out.append(ms)
+                return out
+
+            self._mode_statics = _statics_for(self.dtype)
+            if cfg.refine:
+                # f64 twin of the operator for outer residuals (solver.refine)
+                self._fmm_static64 = build_fmm_static(
+                    self.grid, cfg.np_cheb, dtype=jnp.float64
+                )
+                self._mode_statics64 = _statics_for(jnp.float64)
+                self._C_fwd64 = jnp.asarray(
+                    _mode_coupling(N, chi, True), dtype=jnp.float64
+                )
+                self._C_rhs64 = jnp.asarray(
+                    _mode_coupling(N, chi, False), dtype=jnp.float64
+                )
             self._make_fmm_jits()
         elif backend != "dense":
             raise NotImplementedError(backend)
@@ -155,28 +181,45 @@ class TransportSolver:
             for m in range(self.n_modes)
         }
 
-        def all_modes(caches, mode_statics, u):
-            return fmm_apply_all_modes(leaf, static, caches, mode_statics, u)
+        def all_modes(st, caches, mode_statics, u):
+            return fmm_apply_all_modes(leaf, st, caches, mode_statics, u)
 
-        def forward_impl(caches, mode_statics, C_fwd, sigma_s, u):
+        # `st` (the P2M/M2M/L2T tables) rides as a jit argument so one
+        # traced function serves both the f32 fast path and the f64
+        # refinement twin -- and large arrays never bake into the HLO
+        # as constants (the remote-compile tunnel rejects >MB programs).
+        def forward_impl(st, caches, mode_statics, C_fwd, sigma_s, u):
             u = u.reshape(shape)
             v = sigma_s[None] * u
             Kall = jnp.stack(
-                [all_modes(caches, mode_statics, v[a]) for a in range(N)]
+                [all_modes(st, caches, mode_statics, v[a]) for a in range(N)]
             )  # (N, D, sz, sz, nq)
             return u - jnp.einsum("iad,adxyk->ixyk", C_fwd, Kall,
                                   precision=jax.lax.Precision.HIGHEST)
 
-        def rhs_impl(caches, mode_statics, C_rhs, q):
+        def rhs_impl(st, caches, mode_statics, C_rhs, q):
             q = q.reshape(shape)
             Kall = jnp.stack(
-                [all_modes(caches, mode_statics, q[a]) for a in range(N)]
+                [all_modes(st, caches, mode_statics, q[a]) for a in range(N)]
             )
             return jnp.einsum("iad,adxyk->ixyk", C_rhs, Kall,
                               precision=jax.lax.Precision.HIGHEST)
 
-        self._forward_jit = jax.jit(forward_impl)
-        self._rhs_jit = jax.jit(rhs_impl)
+        self._forward_impl_jit = jax.jit(forward_impl)
+        self._rhs_impl_jit = jax.jit(rhs_impl)
+
+    def _forward64(self, u: jnp.ndarray) -> jnp.ndarray:
+        """f64 twin of forward() for refinement residuals (solver.refine)."""
+        return self._forward_impl_jit(
+            self._fmm_static64, self._caches64, self._mode_statics64,
+            self._C_fwd64, self._sigma_s64, u,
+        )
+
+    def _rhs64(self, q: jnp.ndarray) -> jnp.ndarray:
+        return self._rhs_impl_jit(
+            self._fmm_static64, self._caches64, self._mode_statics64,
+            self._C_rhs64, q,
+        )
 
     # -- coefficient setting (reference AnisoWrapper 'setCoeff' + 'cache') --
 
@@ -199,6 +242,8 @@ class TransportSolver:
         sig_t_np = np.asarray(sigma_t, np.float64).reshape(shape)
         self.sigma_s = jnp.asarray(sig_s_np, dtype=self.dtype)
         self.sigma_t = jnp.asarray(sig_t_np, dtype=self.dtype)
+        if self.cfg.refine:
+            self._sigma_s64 = jnp.asarray(sig_s_np, dtype=jnp.float64)
         coeffs_np = project_field(g, sig_t_np)
         self.sigma_t_coeff = jnp.asarray(coeffs_np, dtype=self.dtype)
         # under the reference's global-basis quirk, evaluate with transformed
@@ -224,23 +269,33 @@ class TransportSolver:
         from ..fmm.smooth import build_near_E, build_m2l_E, m2l_cache_bytes
 
         g = self.grid
-        coeffs_dev = jnp.asarray(coeffs_np, dtype=self.dtype)
+        # with refinement, build the E tensors once in f64 (needed by the
+        # outer-residual operator) and obtain the f32 fast-path caches as
+        # correctly rounded casts -- one build pays for both precisions
+        build_dtype = jnp.float64 if self.cfg.refine else self.dtype
+        coeffs_dev = jnp.asarray(coeffs_np, dtype=build_dtype)
         w_glob = g.w2d * 0.25 * g.dx * g.dx
         caches = {
-            "near_E": build_near_E(g, coeffs_dev, dtype=self.dtype),
+            "near_E": build_near_E(g, coeffs_dev, dtype=build_dtype),
             "m2l_E": build_m2l_E(
                 g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
-                dtype=self.dtype, coeffs_np=coeffs_np,
+                dtype=build_dtype, coeffs_np=coeffs_np,
             ),
-            "sigma_w": jnp.asarray(sigma_nodes * w_glob, dtype=self.dtype),
+            "sigma_w": jnp.asarray(sigma_nodes * w_glob, dtype=build_dtype),
         }
+        if self.cfg.refine:
+            self._caches64 = jax.block_until_ready(caches)
+            caches = jax.tree.map(
+                lambda a: a.astype(self.dtype), self._caches64
+            )
         mb = (
             m2l_cache_bytes(caches["m2l_E"])
             + caches["near_E"].size * caches["near_E"].dtype.itemsize
         ) / 1e6
         log.info(
             f"fmm E caches: {mb:.1f} MB (mode-independent; "
-            f"{self.n_modes} mode(s) share them)"
+            f"{self.n_modes} mode(s) share them"
+            f"{'; plus an f64 twin for refinement' if self.cfg.refine else ''})"
         )
         self._caches = jax.block_until_ready(caches)
 
@@ -268,8 +323,9 @@ class TransportSolver:
         N = self.cfg.kernel_size
         charge = charge.reshape((N,) + self.grid.nodes_x.shape)
         if self.backend_name == "fmm":
-            return self._rhs_jit(
-                self._caches, self._mode_statics, self._C_rhs, charge
+            return self._rhs_impl_jit(
+                self._fmm_static, self._caches, self._mode_statics,
+                self._C_rhs, charge,
             )
         out = []
         for i in range(N):
@@ -285,9 +341,9 @@ class TransportSolver:
         shape = (N,) + self.grid.nodes_x.shape
         u = u.reshape(shape)
         if self.backend_name == "fmm":
-            return self._forward_jit(
-                self._caches, self._mode_statics, self._C_fwd,
-                self.sigma_s, u,
+            return self._forward_impl_jit(
+                self._fmm_static, self._caches, self._mode_statics,
+                self._C_fwd, self.sigma_s, u,
             )
         v = self.sigma_s[None] * u  # (N, sz, sz, nq)
         # T[a][d] = K_d(sigma_s u_a), computed once per needed pair
@@ -313,6 +369,10 @@ class TransportSolver:
         x0: Optional[jnp.ndarray] = None,
         precond=None,
     ) -> GmresResult:
+        if self.cfg.refine:
+            from .refine import refined_solve
+
+            return refined_solve(self, charge, x0=x0, precond=precond)
         N = self.cfg.kernel_size
         shape = (N,) + self.grid.nodes_x.shape
         charge = jnp.asarray(charge, dtype=self.dtype).reshape(shape)

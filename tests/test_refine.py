@@ -1,0 +1,79 @@
+"""Mixed-precision iterative refinement (solver/refine.py).
+
+The reference solves in f64 to 1e-12 (main.cpp:141); on TPU the fast path
+is f32 with a ~1e-6 true-residual floor.  These tests check on CPU (where
+f32 is genuine f32 and f64 genuine f64) that the refined solve drives the
+TRUE f64 residual below tolerances no plain f32 solve can reach.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aniso_tpu import SolverConfig
+from aniso_tpu.solver.operator import TransportSolver
+
+
+def _problem(sz=16, N=2, g=0.5):
+    cfg = SolverConfig(
+        domain_size=sz, quad_rule=3, kernel_size=N, g=g, sing_rule=8,
+        np_cheb=4, dtype="float32", refine=True, tol=1e-11,
+        restart=60, max_iter=300,
+    )
+    s = TransportSolver(cfg, backend="fmm")
+    grid = s.grid
+    sig_s = 8 * 0.5 * (1 - np.cos(2 * np.pi * grid.nodes_x))
+    s.set_coeff(sig_s, sig_s + 0.2)
+    q = np.exp(
+        -25 * ((grid.nodes_x - 0.5) ** 2 + (grid.nodes_y - 0.5) ** 2)
+    )
+    charge = np.stack([q] + [0 * q] * (N - 1))
+    return s, charge
+
+
+def test_refined_solve_reaches_f64_accuracy():
+    s, charge = _problem()
+    res = s.solve(charge)
+    assert res.converged
+    # independent check: recompute the true residual from scratch in f64
+    b = s._rhs64(jnp.asarray(charge, jnp.float64))
+    r = b - s._forward64(res.x)
+    rel = float(jnp.linalg.norm(r)) / float(jnp.linalg.norm(b))
+    assert rel < 1e-11, rel
+    # must have actually used the mixed path: >=2 inner solves, f64 result
+    assert res.refinements >= 2
+    assert res.x.dtype == jnp.float64
+    # monotone contraction by ~the f32 floor per round
+    assert res.history[1] < 1e-4 * res.history[0]
+
+
+def test_refined_matches_full_f64_solution():
+    s, charge = _problem(sz=8, N=1, g=0.95)
+    res = s.solve(charge)
+    cfg64 = SolverConfig(
+        domain_size=8, quad_rule=3, kernel_size=1, g=0.95, sing_rule=8,
+        np_cheb=4, dtype="float64", tol=1e-11, restart=60, max_iter=300,
+    )
+    s64 = TransportSolver(cfg64, backend="fmm")
+    grid = s64.grid
+    sig_s = 8 * 0.5 * (1 - np.cos(2 * np.pi * grid.nodes_x))
+    s64.set_coeff(sig_s, sig_s + 0.2)
+    ref = s64.solve(jnp.asarray(charge, jnp.float64))
+    diff = float(jnp.max(jnp.abs(res.x - ref.x)))
+    scale = float(jnp.max(jnp.abs(ref.x)))
+    assert diff / scale < 1e-9, diff / scale
+
+
+def test_refine_requires_f32():
+    with pytest.raises(ValueError):
+        SolverConfig(dtype="float64", refine=True).validate()
+
+
+def test_cfg_loader_parses_refine(tmp_path):
+    p = tmp_path / "data.cfg"
+    p.write_text("domainSize = 8\ndtype = float32\nRefine = 1\n")
+    from aniso_tpu.core.config import load_cfg
+
+    cfg = load_cfg(str(p))
+    assert cfg.refine and cfg.dtype == "float32"
