@@ -51,14 +51,25 @@ def cmd_run(args) -> int:
     )
     from .utils.logging import log
 
+    if args.distributed:
+        # must run before any other jax use so every host sees the global
+        # device set (SURVEY section 7 stage 6)
+        from .parallel.distributed import init as dist_init
+        dist_init(args.coordinator, args.num_processes, args.process_id)
+
     cfg = load_cfg(args.config)
     if args.dtype:
         cfg.dtype = args.dtype
+    if args.refine:
+        cfg.dtype = "float32"
+        cfg.refine = True
+        jax.config.update("jax_enable_x64", True)
     if args.tol is not None:
         cfg.tol = args.tol
     if args.max_iter is not None:
         cfg.max_iter = args.max_iter
-    print(_banner(cfg))
+    if jax.process_index() == 0:
+        print(_banner(cfg))
 
     timer = Profiler()
     backend = args.backend
@@ -166,6 +177,18 @@ def main(argv=None) -> int:
     run.add_argument("--points", default="points.csv")
     run.add_argument("--result", default="result.csv")
     run.add_argument("--checkpoint", default=None)
+    run.add_argument(
+        "--refine", action="store_true",
+        help="mixed-precision refinement: f32 inner GMRES + f64 residuals",
+    )
+    run.add_argument(
+        "--distributed", action="store_true",
+        help="initialize jax.distributed (multi-host pod slice)",
+    )
+    run.add_argument("--coordinator", default=None,
+                     help="coordinator host:port (multi-host)")
+    run.add_argument("--num-processes", type=int, default=None)
+    run.add_argument("--process-id", type=int, default=None)
     run.set_defaults(fn=cmd_run)
 
     info = sub.add_parser("info", help="JAX device/mesh report")

@@ -83,8 +83,9 @@ def build_mode_static(
 ) -> dict:
     """Per-mode static tables (geometry-only, tiny).
 
-    m2l_cosr: dict level -> (4, 27, r, r) = cos(m ang) / r_phys; multiplied
-      by exp(-E) at apply time this is the full far-field kernel.
+    m2l_cosr: dict level -> (4, r*27*r) = cos(m ang) / r_phys flattened in
+      the cache's (a, o, b) pair order; multiplied by exp(-E) at apply time
+      this is the full far-field kernel.
     near_cosrw: (3, 3, nq, nq) = cos(m ang) / r * w_src (0 at r = 0);
       multiplied by expm1(-E) at apply time.
     near_static: (3, 3, nq, nq) refined+Duffy stencil (ops.near), folded
@@ -96,8 +97,9 @@ def build_mode_static(
     cosr = {}
     for level in range(coarsest_m2l_level(), tcfg.leaf_level + 1):
         B = tcfg.box_size_squares(level)
+        tab = np.cos(mode * ang) / (rr * B * grid.dx)   # (4, 27, r, r)
         cosr[level] = jnp.asarray(
-            np.cos(mode * ang) / (rr * B * grid.dx), dtype=dtype
+            tab.transpose(0, 2, 1, 3).reshape(4, -1), dtype=dtype
         )
     dxv, dyv, r = near_pair_geometry(grid)
     wsrc = grid.w2d * 0.25 * grid.dx * grid.dx        # (nq_s,)
@@ -156,13 +158,14 @@ def _up_pass(static, leaf_level: int, u: jnp.ndarray):
 def _vlist_gather(M_l: jnp.ndarray):
     """Parity-plane V-list gather at one level.
 
-    Returns gsel: (4, 27, m2, m2, r) -- for each target parity class c, the
-    27 source-box coefficient planes.  Multipoles are split into the 4 box
-    parity planes; every V-list source is then a <= 1-box shift of one plane
-    (parity_shift_table_np), so the whole gather is 36 static zero-padded
-    slices (lazy XLA slices fused into the consuming contraction) -- a
-    halo-1 stencil that shards cleanly over a device mesh.  Shared by every
-    Fourier mode at this level.
+    Returns gsel: (4, m2, m2, 27*r) -- for each target parity class c, the
+    27 source-box coefficient planes, offset-major in the minor dim (the
+    cache's (a, o, b) pair layout contracts (o, b) jointly).  Multipoles are
+    split into the 4 box parity planes; every V-list source is then a <=
+    1-box shift of one plane (parity_shift_table_np), so the whole gather is
+    36 static zero-padded slices (lazy XLA slices fused into the consuming
+    stack) -- a halo-1 stencil that shards cleanly over a device mesh.
+    Shared by every Fourier mode at this level.
     """
     m = M_l.shape[0]
     r = M_l.shape[-1]
@@ -183,8 +186,9 @@ def _vlist_gather(M_l: jnp.ndarray):
                 [
                     shifted[tab[c, o, 0]][tab[c, o, 1]][tab[c, o, 2]][tab[c, o, 3]]
                     for o in range(27)
-                ]
-            )
+                ],
+                axis=2,
+            ).reshape(m2, m2, 27 * r)
             for c in range(4)
         ]
     )
@@ -193,17 +197,21 @@ def _vlist_gather(M_l: jnp.ndarray):
 def _m2l_translate(E_l, cosr_l, gsel):
     """Fused V-list translation at one level -> local expansions (m, m, r).
 
-    E_l: (4, m2, m2, 27, r, r); cosr_l: (4, 27, r, r); gsel from
-    _vlist_gather.  The fused far-field operator exp(-E) cos/r is formed
-    on the fly (fused elementwise on the cache read) and contracted in one
-    batched einsum per parity class.
+    E_l: (4, m2, m2, r*27*r) with pair axis (a, o, b); cosr_l: (4, r*27*r);
+    gsel: (4, m2, m2, 27*r) from _vlist_gather.  The fused far-field
+    operator exp(-E) cos/r is formed on the fly (fused elementwise on the
+    cache read) and contracted as one batched (r x 27r) @ (27r,) matvec per
+    box per parity class -- all tensors keep their large dims minor-most so
+    nothing pads in HBM.
     """
     m2 = E_l.shape[1]
-    r = E_l.shape[-1]
+    P = E_l.shape[-1]
+    ob = gsel.shape[-1]
+    r = P // ob
     outs = []
     for c in range(4):
-        op = jnp.exp(-E_l[c]) * cosr_l[c][None, None]
-        outs.append(jnp.einsum("xyoab,oxyb->xya", op, gsel[c], precision=HIGHEST))
+        op = (jnp.exp(-E_l[c]) * cosr_l[c]).reshape(m2, m2, r, ob)
+        outs.append(jnp.einsum("xyaq,xyq->xya", op, gsel[c], precision=HIGHEST))
     # interleave the 4 parity classes: L[2x+px, 2y+py] = outs[2px+py][x, y]
     return (
         jnp.stack(outs)
@@ -249,20 +257,22 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
 
     block = expm1(-E_near) * cos(m theta)/r * w_src + static stencil; the
     m = 0 self-node diagonal adds sigma_hat * w * u elementwise (reference
-    KernelFactory.cpp:260).
+    KernelFactory.cpp:260).  near_E is stored (3, 3, nq_t, nq_s, sz, sz)
+    (spatial minor-most; see fmm.smooth.build_near_E).
     """
     block = (
-        jnp.expm1(-caches["near_E"]) * mode_static["near_cosrw"]
-        + mode_static["near_static"][None, None]
+        jnp.expm1(-caches["near_E"]) * mode_static["near_cosrw"][..., None, None]
+        + mode_static["near_static"][..., None, None]
     )
     out = jnp.einsum(
-        "ijabts,sabij->ijt", block, _patch_3x3(u), precision=HIGHEST
+        "abtsij,sabij->ijt", block, _patch_3x3(u), precision=HIGHEST
     )
     if mode == 0:
         out = out + caches["sigma_w"] * u
     duffy = mode_static.get("duffy")
     if duffy is not None:
-        out = out + jnp.einsum("ijts,ijs->ijt", duffy, u, precision=HIGHEST)
+        # duffy stored (nq_t, nq_s, sz, sz): spatial dims minor-most
+        out = out + jnp.einsum("tsij,ijs->ijt", duffy, u, precision=HIGHEST)
     return out
 
 

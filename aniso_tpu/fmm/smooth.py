@@ -68,11 +68,15 @@ def near_weights_np(deg: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def fine_m2l_weights_np(deg: int, np_cheb: int, B: int) -> np.ndarray:
-    """(4, 27*r*r, 7B, 7B, nq) static E weights for fine-level M2L pairs.
+    """(4, r*27*r, 7B, 7B, nq) static E weights for fine-level M2L pairs.
 
     Class order c = 2*px + py; every parity class has exactly 27 V-list
     offsets.  Weights are relative to the target box corner with the common
     patch covering cells [-3B, 4B) per axis; grid-size independent.
+
+    The pair axis is ordered (a, o, b) -- target point major, offset,
+    source point minor -- matching the E-cache storage layout (see
+    build_m2l_E_fine).
     """
     g = make_grid(4, deg)  # only deg-dependent tables are used
     r = np_cheb * np_cheb
@@ -95,7 +99,11 @@ def fine_m2l_weights_np(deg: int, np_cheb: int, B: int) -> np.ndarray:
                 patch_lo=np.array([-3 * B, -3 * B]),
                 patch_shape=(PX, PX),
             )
-    return out
+    # reorder pairs (o, a, b) -> (a, o, b) to match the cache layout
+    perm = (
+        np.arange(27 * r * r).reshape(27, r, r).transpose(1, 0, 2).reshape(-1)
+    )
+    return out[:, perm]
 
 
 # ---------------------------------------------------------------------------
@@ -128,11 +136,17 @@ def _near_E_einsum(W: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
         pad.transpose(2, 0, 1)[None], filter_shape=(3, 3),
         window_strides=(1, 1), padding="VALID", precision=HIGHEST,
     )[0].reshape(nq, 3, 3, sz, sz)
-    return jnp.einsum("abtscdq,qcdij->ijabts", W, patch, precision=HIGHEST)
+    return jnp.einsum("abtscdq,qcdij->abtsij", W, patch, precision=HIGHEST)
 
 
 def build_near_E(grid: Grid, coeffs: jnp.ndarray, dtype=jnp.float32):
-    """E for all near pairs: (sz, sz, 3, 3, nq_t, nq_s), physical units."""
+    """E for all near pairs: (3, 3, nq_t, nq_s, sz, sz), physical units.
+
+    Spatial dims minor-most: TPU buffers tile the two minor dims to
+    (8, 128), so a trailing (nq, nq) = (9, 9) would pad 25x in HBM
+    (measured: the pre-fix layout OOM'd a 128^2 solve at 23.4 GB for a
+    3 GB program).  Trailing (sz, sz) pads not at all for sz >= 128.
+    """
     W = jnp.asarray(near_weights_np(grid.deg), dtype=dtype)
     return _near_E_einsum(W, coeffs.astype(dtype)) * grid.dx
 
@@ -164,7 +178,13 @@ def build_m2l_E_fine(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
     coeffs: jnp.ndarray, dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """(4, m2, m2, 27, r, r) E at a fine level (B in {1, 2}), physical units."""
+    """(4, m2, m2, r*27*r) E at a fine level (B in {1, 2}), physical units.
+
+    The pair axis is flattened in (a, o, b) order and kept minor-most:
+    r*27*r = 6912 for np_cheb=4 is an exact multiple of the TPU 128-lane
+    tile, so the dominant cache stores with ZERO padding at any grid size
+    (a trailing (27, r, r) would pad 8x and OOM at 128^2+).
+    """
     B = tcfg.box_size_squares(level)
     r = np_cheb * np_cheb
     m2 = tcfg.boxes(level) // 2
@@ -177,7 +197,7 @@ def build_m2l_E_fine(
         for py in (0, 1):
             sl = pad[px * B : px * B + ext, py * B : py * B + ext]
             out.append(_fine_E_class(W[2 * px + py], sl, B))
-    E = jnp.stack(out).reshape(4, m2, m2, 27, r, r)
+    E = jnp.stack(out)   # (4, m2, m2, r*27*r), pair order (a, o, b)
     return E * grid.dx
 
 
@@ -186,8 +206,9 @@ def build_m2l_E_coarse(
     coeffs: jnp.ndarray, dtype=jnp.float32, chunk: int = 4096,
     coeffs_np=None,
 ) -> jnp.ndarray:
-    """(4, m2, m2, 27, r, r) E at a coarse level (B >= 4) via exact per-pair
+    """(4, m2, m2, r*27*r) E at a coarse level (B >= 4) via exact per-pair
     line integrals on the host (native OpenMP engine; JAX fallback).
+    Same (a, o, b) pair-axis layout as build_m2l_E_fine.
 
     coeffs_np: optional host copy of coeffs (avoids a device read-back)."""
     B = tcfg.box_size_squares(level)
@@ -244,6 +265,7 @@ def build_m2l_E_coarse(
                                     jnp.asarray(seg_t, dtype=dtype))
                         Es[st:en] = np.asarray(Ec)[: en - st]
                 E_out[2 * px + py, :, :, oi] = Es.reshape(m2, m2, r, r)
+    E_out = E_out.transpose(0, 1, 2, 4, 3, 5).reshape(4, m2, m2, -1)
     return jnp.asarray(E_out, dtype=dtype)
 
 
@@ -251,7 +273,7 @@ def build_m2l_E(
     grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs: jnp.ndarray,
     dtype=jnp.float32, coeffs_np=None,
 ) -> dict:
-    """Full per-level M2L E cache: dict level -> (4, m2, m2, 27, r, r).
+    """Full per-level M2L E cache: dict level -> (4, m2, m2, r*27*r).
 
     Mode-independent; serves every Fourier kernel (cf. the reference's
     per-mode cache passes, AnisoWrapper.cpp:72-90).

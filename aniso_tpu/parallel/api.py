@@ -68,20 +68,34 @@ def _divisible(shape, mesh: Mesh, d0: int, d1: int) -> bool:
 def shard_pytree(mesh: Mesh, tree):
     """Place a solver cache / mode-static pytree: per-square / per-box
     arrays sharded over their spatial dims where divisible, small static
-    operators replicated.  M2L E tensors (4, m2, m2, 27, r, r) carry the
-    parity class first, so their spatial dims are 1 and 2."""
+    operators replicated.  The spatial dims sit at different positions per
+    tensor family (all layouts keep them minor-most on the *minor* side
+    for TPU tiling, fmm.smooth):
 
-    def place(x):
+      m2l_E levels  (4, m2, m2, P)            -> spatial dims 1, 2
+      near_E        (3, 3, nq, nq, sz, sz)    -> spatial dims 4, 5
+      duffy         (nq, nq, sz, sz)          -> spatial dims 2, 3
+      fields etc.   (sz, sz, ...)             -> spatial dims 0, 1
+    """
+
+    def place(path, x):
         x = jnp.asarray(x)
-        if x.ndim == 6 and x.shape[0] == 4 and _divisible(x.shape, mesh, 1, 2):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "m2l_E" in keys and x.ndim == 4 and _divisible(x.shape, mesh, 1, 2):
+            return jax.device_put(x, NamedSharding(mesh, P(None, "x", "y")))
+        if "near_E" in keys and x.ndim == 6 and _divisible(x.shape, mesh, 4, 5):
             return jax.device_put(
-                x, NamedSharding(mesh, P(None, "x", "y"))
+                x, NamedSharding(mesh, P(None, None, None, None, "x", "y"))
+            )
+        if "duffy" in keys and x.ndim == 4 and _divisible(x.shape, mesh, 2, 3):
+            return jax.device_put(
+                x, NamedSharding(mesh, P(None, None, "x", "y"))
             )
         if _divisible(x.shape, mesh, 0, 1):
             return shard_field(mesh, x)
         return replicate(mesh, x)
 
-    return jax.tree_util.tree_map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)
 
 
 # kept name for round-1 callers

@@ -144,7 +144,12 @@ class TransportSolver:
                         self._stencils[m], dtype=dtype,
                     )
                     if self._duffys[m] is not None:
-                        ms["duffy"] = jnp.asarray(self._duffys[m], dtype=dtype)
+                        # (sz, sz, nq, nq) -> (nq, nq, sz, sz): spatial
+                        # minor-most so the TPU (8, 128) tiling pads ~0
+                        # instead of 25x (see fmm.smooth.build_near_E)
+                        ms["duffy"] = jnp.asarray(
+                            self._duffys[m].transpose(2, 3, 0, 1), dtype=dtype
+                        )
                     out.append(ms)
                 return out
 
