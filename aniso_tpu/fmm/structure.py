@@ -66,12 +66,24 @@ class TreeConfig:
         return self.sz >> level
 
 
-def tree_config(sz: int) -> TreeConfig:
+def tree_config(sz: int, max_level: int = 20) -> TreeConfig:
+    """max_level mirrors the reference cap (data.cfg:37, bbfmm.h:250-317
+    stops splitting at maxLevel).  The implicit tree's depth is log2(sz);
+    a cap that binds would coarsen leaf boxes to >1 square, which this
+    framework does not implement -- reject it loudly rather than silently
+    building a different operator than asked."""
     if sz & (sz - 1) != 0 or sz < 4:
         raise ValueError(
             f"FMM backend needs domain_size a power of two >= 4, got {sz}"
         )
-    return TreeConfig(sz=sz, levels=int(np.log2(sz)))
+    levels = int(np.log2(sz))
+    if max_level < levels:
+        raise NotImplementedError(
+            f"max_level={max_level} would cap the implicit quadtree below "
+            f"its natural depth log2({sz})={levels}; coarsened leaf boxes "
+            "are not supported"
+        )
+    return TreeConfig(sz=sz, levels=levels)
 
 
 def coarsest_m2l_level() -> int:

@@ -131,7 +131,7 @@ class TransportSolver:
             from ..fmm.structure import tree_config
             from ..fmm.apply import build_fmm_static, build_mode_static
 
-            self._tcfg = tree_config(cfg.domain_size)
+            self._tcfg = tree_config(cfg.domain_size, cfg.max_level)
             self._fmm_static = build_fmm_static(
                 self.grid, cfg.np_cheb, dtype=self.dtype
             )

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     p.add_argument("--dsa", action="store_true", help="DSA preconditioner")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"])
+    p.add_argument("--refine", action="store_true",
+                   help="mixed-precision refinement (f32 inner + f64 "
+                        "residuals); reaches the demo.m 1e-11 target on chip")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the ambient JAX_PLATFORMS "
                         "pin cannot be overridden from the shell)")
@@ -41,8 +44,8 @@ def main(argv=None) -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-        if args.dtype == "float64":
-            jax.config.update("jax_enable_x64", True)
+    if args.dtype == "float64" or args.refine:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
     from aniso_tpu import SolverConfig
@@ -54,7 +57,8 @@ def main(argv=None) -> int:
     # aniso.m:24 — Aniso(128, 1, N, g, 10, 4, 20)
     cfg = SolverConfig(
         domain_size=args.size, quad_rule=args.deg, kernel_size=args.modes,
-        g=args.g, sing_rule=10, np_cheb=4, dtype=args.dtype,
+        g=args.g, sing_rule=10, np_cheb=4,
+        dtype="float32" if args.refine else args.dtype, refine=args.refine,
         tol=args.tol, restart=80, max_iter=400,
     )
     timer.tic("build solver")
