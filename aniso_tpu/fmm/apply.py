@@ -194,6 +194,12 @@ def _vlist_gather(M_l: jnp.ndarray):
     )
 
 
+# cap on the materialized fused-operator transient per parity class; rows
+# are processed in lax.map chunks beyond it (512^2 leaf E is 1.8 GB f32 /
+# 3.6 GB f64 per class -- unchunked it would double peak HBM)
+_M2L_TRANSIENT_CAP_BYTES = 512 * 1024 * 1024
+
+
 def _m2l_translate(E_l, cosr_l, gsel):
     """Fused V-list translation at one level -> local expansions (m, m, r).
 
@@ -202,16 +208,36 @@ def _m2l_translate(E_l, cosr_l, gsel):
     operator exp(-E) cos/r is formed on the fly (fused elementwise on the
     cache read) and contracted as one batched (r x 27r) @ (27r,) matvec per
     box per parity class -- all tensors keep their large dims minor-most so
-    nothing pads in HBM.
+    nothing pads in HBM.  Large levels stream in row chunks to bound the
+    transient.
     """
     m2 = E_l.shape[1]
     P = E_l.shape[-1]
     ob = gsel.shape[-1]
     r = P // ob
+
+    class_bytes = m2 * m2 * P * E_l.dtype.itemsize
+    chunk = m2
+    while chunk > 1 and (class_bytes // (m2 // chunk)) > _M2L_TRANSIENT_CAP_BYTES:
+        chunk //= 2
+
+    def one_chunk(c, Eb, gb):
+        rows = Eb.shape[0]
+        op = (jnp.exp(-Eb) * cosr_l[c]).reshape(rows, m2, r, ob)
+        return jnp.einsum("xyaq,xyq->xya", op, gb, precision=HIGHEST)
+
     outs = []
     for c in range(4):
-        op = (jnp.exp(-E_l[c]) * cosr_l[c]).reshape(m2, m2, r, ob)
-        outs.append(jnp.einsum("xyaq,xyq->xya", op, gsel[c], precision=HIGHEST))
+        if chunk == m2:
+            outs.append(one_chunk(c, E_l[c], gsel[c]))
+        else:
+            nb = m2 // chunk
+            Ec = E_l[c].reshape(nb, chunk, m2, P)
+            gc = gsel[c].reshape(nb, chunk, m2, ob)
+            out_c = jax.lax.map(
+                lambda args, c=c: one_chunk(c, args[0], args[1]), (Ec, gc)
+            )
+            outs.append(out_c.reshape(m2, m2, r))
     # interleave the 4 parity classes: L[2x+px, 2y+py] = outs[2px+py][x, y]
     return (
         jnp.stack(outs)

@@ -72,9 +72,13 @@ def main():
     chain(u).block_until_ready()           # compile
     reps = 3
     times = []
-    for _ in range(reps):
+    for rep in range(reps):
+        # vary the input per rep: identical (program, args) executions can
+        # be memoized by the remote-TPU tunnel and time as ~0
+        urep = u + jnp.float32(1e-6 * (rep + 1))
+        urep.block_until_ready()
         t0 = time.perf_counter()
-        chain(u).block_until_ready()
+        chain(urep).block_until_ready()
         times.append((time.perf_counter() - t0) / K)
     per = float(np.median(times))
     gps = g.n_nodes / per

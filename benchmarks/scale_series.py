@@ -70,9 +70,13 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
     chain(caches, ms0, static, u).block_until_ready()
     matvec_compile_s = time.time() - t0
     times = []
-    for _ in range(3):
+    for rep in range(3):
+        # vary the input per rep: identical (program, args) executions can
+        # be memoized by the remote-TPU tunnel and time as ~0
+        urep = u + jnp.float32(1e-6 * (rep + 1))
+        urep.block_until_ready()
         t0 = time.perf_counter()
-        chain(caches, ms0, static, u).block_until_ready()
+        chain(caches, ms0, static, urep).block_until_ready()
         times.append((time.perf_counter() - t0) / K)
     matvec_s = float(np.median(times))
 

@@ -182,3 +182,19 @@ def test_fmm_end_to_end_solve(rng):
     r = np.asarray(fmm.forward(res.x)) - np.asarray(b)
     rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
     assert rel < 5e-9, rel
+
+
+def test_m2l_translate_chunked_matches_unchunked(monkeypatch):
+    """Row-chunked streaming translate (512^2 memory cap) is exact."""
+    import aniso_tpu.fmm.apply as A
+
+    rng = np.random.default_rng(3)
+    m2, r, ob = 8, 4, 12 * 4
+    P = r * ob
+    E = jnp.asarray(rng.random((4, m2, m2, P)))
+    cosr = jnp.asarray(rng.random((4, P)))
+    g = jnp.asarray(rng.random((4, m2, m2, ob)))
+    ref = np.asarray(A._m2l_translate(E, cosr, g))
+    monkeypatch.setattr(A, "_M2L_TRANSIENT_CAP_BYTES", 1)
+    out = np.asarray(A._m2l_translate(E, cosr, g))
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-14)
