@@ -304,6 +304,39 @@ class TransportSolver:
         )
         self._caches = jax.block_until_ready(caches)
 
+    def cache_report(self) -> dict:
+        """Footprint accounting (role of Aniso::displayKernelCacheSize,
+        Aniso.cpp:19-47 -- but mode-count independent: one E cache serves
+        all 2N-1 kernels; the reference stores per-mode FMM caches).
+
+        Returns bytes per cache family, including the f64 refinement twin
+        when present."""
+        from ..fmm.smooth import m2l_cache_bytes
+
+        def nbytes(a):
+            return int(np.prod(a.shape)) * a.dtype.itemsize
+
+        rep = {}
+        if self.backend_name == "fmm" and self._caches is not None:
+            rep["m2l_E"] = m2l_cache_bytes(self._caches["m2l_E"])
+            rep["near_E"] = nbytes(self._caches["near_E"])
+            rep["sigma_w"] = nbytes(self._caches["sigma_w"])
+            if getattr(self, "_caches64", None) is not None:
+                rep["f64_twin"] = (
+                    m2l_cache_bytes(self._caches64["m2l_E"])
+                    + nbytes(self._caches64["near_E"])
+                    + nbytes(self._caches64["sigma_w"])
+                )
+            rep["mode_statics"] = sum(
+                nbytes(v) for ms in self._mode_statics for v in
+                jax.tree_util.tree_leaves(ms)
+            )
+        elif self._k_smooth is not None:
+            rep["dense_smooth"] = sum(nbytes(k) for k in self._k_smooth)
+            rep["dense_real"] = sum(nbytes(k) for k in self._k_real)
+        rep["total"] = sum(rep.values())
+        return rep
+
     # -- corrected matvec (reference MEX 'mapping') --
 
     def apply_mode(self, m: int, u: jnp.ndarray) -> jnp.ndarray:

@@ -147,3 +147,29 @@ def test_cli_info(capsys):
     assert main(["info"]) == 0
     out = capsys.readouterr().out
     assert '"device_count"' in out
+
+
+def test_cache_report_accounts_footprint():
+    """VERDICT round-1 item 4: footprint accounting exists and is
+    mode-count independent (the E caches serve all modes)."""
+    import jax.numpy as jnp
+    from aniso_tpu import SolverConfig
+    from aniso_tpu.solver.operator import TransportSolver
+
+    def build(n_modes):
+        cfg = SolverConfig(
+            domain_size=8, quad_rule=2, kernel_size=n_modes, g=0.5,
+            sing_rule=4, np_cheb=3, dtype="float32",
+        )
+        s = TransportSolver(cfg, backend="fmm")
+        g = s.grid
+        sig = np.full_like(g.nodes_x, 5.0)
+        s.set_coeff(sig, sig + 0.2)
+        return s.cache_report()
+
+    r1, r3 = build(1), build(3)
+    assert r1["total"] > 0
+    # E caches identical across mode counts; only tiny statics grow
+    assert r3["m2l_E"] == r1["m2l_E"]
+    assert r3["near_E"] == r1["near_E"]
+    assert r3["mode_statics"] > r1["mode_statics"]
