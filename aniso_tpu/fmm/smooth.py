@@ -201,6 +201,48 @@ def build_m2l_E_fine(
     return E * grid.dx
 
 
+def build_near_E_np(grid: Grid, coeffs_np: np.ndarray) -> np.ndarray:
+    """Host (numpy/BLAS) twin of build_near_E, f64: (3,3,nq,nq,sz,sz).
+
+    Used for the refinement twin: pure numpy means zero XLA compiles and
+    the work is a single dgemm-backed einsum (~seconds at 512^2)."""
+    W = near_weights_np(grid.deg)
+    pad = np.pad(np.asarray(coeffs_np, np.float64), ((1, 1), (1, 1), (0, 0)))
+    win = np.lib.stride_tricks.sliding_window_view(pad, (3, 3), axis=(0, 1))
+    # win[i, j, q, c, d] = pad[i + c, j + d, q]
+    E = np.einsum("abtscdq,ijqcd->abtsij", W, win, optimize=True)
+    return E * grid.dx
+
+
+def build_m2l_E_fine_np(
+    grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
+    coeffs_np: np.ndarray,
+) -> np.ndarray:
+    """Host (numpy/BLAS) twin of build_m2l_E_fine, f64: (4, m2, m2, P)."""
+    B = tcfg.box_size_squares(level)
+    m2 = tcfg.boxes(level) // 2
+    PX = 7 * B
+    W = fine_m2l_weights_np(grid.deg, np_cheb, B)
+    pad = np.pad(
+        np.asarray(coeffs_np, np.float64),
+        ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)),
+    )
+    ext = 2 * m2 * B + 5 * B
+    P = W.shape[1]
+    out = np.empty((4, m2, m2, P))
+    for px in (0, 1):
+        for py in (0, 1):
+            sl = pad[px * B : px * B + ext, py * B : py * B + ext]
+            win = np.lib.stride_tricks.sliding_window_view(
+                sl, (PX, PX), axis=(0, 1)
+            )[:: 2 * B, :: 2 * B]
+            # win[x, y, q, a, b] = sl[2Bx + a, 2By + b, q]
+            out[2 * px + py] = np.einsum(
+                "pabq,xyqab->xyp", W[2 * px + py], win, optimize=True
+            )
+    return out * grid.dx
+
+
 def build_m2l_E_coarse(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
     coeffs: jnp.ndarray, dtype=jnp.float32, chunk: int = 4096,
@@ -225,6 +267,8 @@ def build_m2l_E_coarse(
         coeffs_np = np.asarray(coeffs_np, np.float64)
         pair_E = None
     else:
+        if coeffs is None:
+            coeffs = jnp.asarray(coeffs_np, dtype=dtype)
         span = 5 * B
         n_pieces = max(1, -(-span // 6))
         li = make_line_integral(grid, 8, n_pieces=n_pieces)
@@ -299,6 +343,28 @@ def build_m2l_E(
             cache[level] = build_m2l_E_coarse(
                 grid, tcfg, level, np_cheb, coeffs, dtype,
                 coeffs_np=coeffs_np,
+            )
+    return cache
+
+
+def build_m2l_E_host(
+    grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs_np: np.ndarray,
+) -> dict:
+    """Host-resident f64 M2L E cache (refinement twin): numpy/BLAS fine
+    levels + native coarse levels, returned as CPU-device jnp arrays."""
+    import jax
+
+    cache = {}
+    for level in range(coarsest_m2l_level(), tcfg.leaf_level + 1):
+        if tcfg.box_size_squares(level) <= 2:
+            cache[level] = jnp.asarray(
+                build_m2l_E_fine_np(grid, tcfg, level, np_cheb, coeffs_np),
+                dtype=jnp.float64,
+            )
+        else:
+            cache[level] = build_m2l_E_coarse(
+                grid, tcfg, level, np_cheb, None,
+                dtype=jnp.float64, coeffs_np=coeffs_np,
             )
     return cache
 

@@ -155,17 +155,25 @@ class TransportSolver:
 
             self._mode_statics = _statics_for(self.dtype)
             if cfg.refine:
-                # f64 twin of the operator for outer residuals (solver.refine)
-                self._fmm_static64 = build_fmm_static(
-                    self.grid, cfg.np_cheb, dtype=jnp.float64
-                )
-                self._mode_statics64 = _statics_for(jnp.float64)
-                self._C_fwd64 = jnp.asarray(
-                    _mode_coupling(N, chi, True), dtype=jnp.float64
-                )
-                self._C_rhs64 = jnp.asarray(
-                    _mode_coupling(N, chi, False), dtype=jnp.float64
-                )
+                # f64 twin of the operator for outer residuals
+                # (solver.refine).  It lives on the HOST CPU backend: the
+                # outer residual runs only ~2-3 times per solve, host RAM
+                # dwarfs HBM (the twin would not fit next to the f32
+                # caches at 512^2), and the accelerator never has to
+                # compile any f64-emulated program (minutes each through
+                # the remote-compile tunnel).
+                self._cpu = jax.devices("cpu")[0]
+                with jax.default_device(self._cpu):
+                    self._fmm_static64 = build_fmm_static(
+                        self.grid, cfg.np_cheb, dtype=jnp.float64
+                    )
+                    self._mode_statics64 = _statics_for(jnp.float64)
+                    self._C_fwd64 = jnp.asarray(
+                        _mode_coupling(N, chi, True), dtype=jnp.float64
+                    )
+                    self._C_rhs64 = jnp.asarray(
+                        _mode_coupling(N, chi, False), dtype=jnp.float64
+                    )
             self._make_fmm_jits()
         elif backend != "dense":
             raise NotImplementedError(backend)
@@ -248,7 +256,9 @@ class TransportSolver:
         self.sigma_s = jnp.asarray(sig_s_np, dtype=self.dtype)
         self.sigma_t = jnp.asarray(sig_t_np, dtype=self.dtype)
         if self.cfg.refine:
-            self._sigma_s64 = jnp.asarray(sig_s_np, dtype=jnp.float64)
+            self._sigma_s64 = jax.device_put(
+                np.asarray(sig_s_np, np.float64), self._cpu
+            )
         coeffs_np = project_field(g, sig_t_np)
         self.sigma_t_coeff = jnp.asarray(coeffs_np, dtype=self.dtype)
         # under the reference's global-basis quirk, evaluate with transformed
@@ -274,25 +284,38 @@ class TransportSolver:
         from ..fmm.smooth import build_near_E, build_m2l_E, m2l_cache_bytes
 
         g = self.grid
-        # with refinement, build the E tensors once in f64 (needed by the
-        # outer-residual operator) and obtain the f32 fast-path caches as
-        # correctly rounded casts -- one build pays for both precisions
-        build_dtype = jnp.float64 if self.cfg.refine else self.dtype
-        coeffs_dev = jnp.asarray(coeffs_np, dtype=build_dtype)
         w_glob = g.w2d * 0.25 * g.dx * g.dx
-        caches = {
-            "near_E": build_near_E(g, coeffs_dev, dtype=build_dtype),
-            "m2l_E": build_m2l_E(
-                g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
-                dtype=build_dtype, coeffs_np=coeffs_np,
-            ),
-            "sigma_w": jnp.asarray(sigma_nodes * w_glob, dtype=build_dtype),
-        }
+
+        def build(dtype):
+            coeffs_dev = jnp.asarray(coeffs_np, dtype=dtype)
+            return {
+                "near_E": build_near_E(g, coeffs_dev, dtype=dtype),
+                "m2l_E": build_m2l_E(
+                    g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
+                    dtype=dtype, coeffs_np=coeffs_np,
+                ),
+                "sigma_w": jnp.asarray(sigma_nodes * w_glob, dtype=dtype),
+            }
+
+        caches = build(self.dtype)
         if self.cfg.refine:
-            self._caches64 = jax.block_until_ready(caches)
-            caches = jax.tree.map(
-                lambda a: a.astype(self.dtype), self._caches64
-            )
+            # f64 twin built (numpy/BLAS -- zero XLA compiles) and kept on
+            # the host CPU backend (see __init__); the accelerator holds
+            # only the f32 fast path
+            from ..fmm.smooth import build_near_E_np, build_m2l_E_host
+
+            with jax.default_device(self._cpu):
+                self._caches64 = {
+                    "near_E": jnp.asarray(
+                        build_near_E_np(g, coeffs_np), dtype=jnp.float64
+                    ),
+                    "m2l_E": build_m2l_E_host(
+                        g, self._tcfg, self.cfg.np_cheb, coeffs_np
+                    ),
+                    "sigma_w": jnp.asarray(
+                        sigma_nodes * w_glob, dtype=jnp.float64
+                    ),
+                }
         mb = (
             m2l_cache_bytes(caches["m2l_E"])
             + caches["near_E"].size * caches["near_E"].dtype.itemsize
@@ -300,7 +323,7 @@ class TransportSolver:
         log.info(
             f"fmm E caches: {mb:.1f} MB (mode-independent; "
             f"{self.n_modes} mode(s) share them"
-            f"{'; plus an f64 twin for refinement' if self.cfg.refine else ''})"
+            f"{'; plus a host-resident f64 twin' if self.cfg.refine else ''})"
         )
         self._caches = jax.block_until_ready(caches)
 

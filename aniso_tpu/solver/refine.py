@@ -27,7 +27,9 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.logging import log
 from .gmres import gmres
@@ -65,16 +67,25 @@ def refined_solve(
 
     N = cfg.kernel_size
     shape = (N,) + solver.grid.nodes_x.shape
-    q = jnp.asarray(charge, jnp.float64).reshape(shape)
+    # the f64 state (b, x, r) lives with the f64 twin operator on the host
+    # CPU backend; only the normalized f32 residual crosses to the
+    # accelerator per round, and the correction comes back
+    cpu = solver._cpu
+    acc = jax.devices()[0]
+    q = jax.device_put(
+        np.asarray(charge, np.float64).reshape(shape), cpu
+    )
     b = solver._rhs64(q)
     bnorm = float(jnp.linalg.norm(b))
     if bnorm == 0.0:
         return RefinedResult(jnp.zeros(shape, jnp.float64), 0.0, 0, True, 0, ())
 
     x = (
-        jnp.zeros(shape, jnp.float64)
+        jax.device_put(jnp.zeros(shape, jnp.float64), cpu)
         if x0 is None
-        else jnp.asarray(x0, jnp.float64).reshape(shape)
+        else jax.device_put(
+            np.asarray(x0, np.float64).reshape(shape), cpu
+        )
     )
     total_inner = 0
     history = []
@@ -95,16 +106,20 @@ def refined_solve(
                 f"refine: stalled at {rel:.3e} (round {k}); stopping"
             )
             return RefinedResult(x, rel, total_inner, False, k, tuple(history))
+        r32 = jax.device_put(
+            np.asarray((r / rnorm).astype(jnp.float32)), acc
+        )
         res = gmres(
             solver.forward,
-            (r / rnorm).astype(solver.dtype),
+            r32,
             restart=cfg.restart,
             max_iter=cfg.max_iter,
             tol=inner_tol,
             precond=precond,
         )
         total_inner += int(res.iterations)
-        x = x + rnorm * res.x.astype(jnp.float64)
+        d = jax.device_put(np.asarray(res.x, np.float64), cpu)
+        x = x + rnorm * d
     r = b - solver._forward64(x)
     rel = float(jnp.linalg.norm(r)) / bnorm
     history.append(rel)

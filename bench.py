@@ -61,26 +61,33 @@ def main():
     leaf = solver._tcfg.leaf_level
     static = solver._fmm_static
 
-    K = 100
+    # Two guards against remote-TPU tunnel timing artifacts: the chain ends
+    # in a scalar reduce whose VALUE is transferred (execution cannot
+    # complete lazily), and two chain lengths are differenced to cancel
+    # fixed dispatch/transfer latency.
+    import functools
 
-    @jax.jit
-    def chain(u):
+    K = 50
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def chain(u, k):
         def body(v, _):
             return A.fmm_apply_mode(leaf, static, caches, ms, 0, v), None
-        return jax.lax.scan(body, u, None, length=K)[0]
+        return jnp.sum(jax.lax.scan(body, u, None, length=k)[0])
 
-    chain(u).block_until_ready()           # compile
-    reps = 3
-    times = []
-    for rep in range(reps):
-        # vary the input per rep: identical (program, args) executions can
-        # be memoized by the remote-TPU tunnel and time as ~0
+    float(chain(u, K))                     # compile
+    float(chain(u, 5 * K))
+
+    def timed(k, rep):
         urep = u + jnp.float32(1e-6 * (rep + 1))
         urep.block_until_ready()
         t0 = time.perf_counter()
-        chain(urep).block_until_ready()
-        times.append((time.perf_counter() - t0) / K)
-    per = float(np.median(times))
+        float(chain(urep, k))
+        return time.perf_counter() - t0
+
+    per = float(np.median(
+        [(timed(5 * K, r + 3) - timed(K, r)) / (4 * K) for r in range(3)]
+    ))
     gps = g.n_nodes / per
 
     # full device-resident GMRES solve (reference main.cpp:141 flow);

@@ -10,6 +10,7 @@ Usage: python benchmarks/scale_series.py --sizes 64 128 256 --modes 1 --g 0.5
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -54,31 +55,37 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
     q = np.exp(-25 * ((grid.nodes_x - 0.5) ** 2 + (grid.nodes_y - 0.5) ** 2))
     charge = np.stack([q] + [0 * q] * (n_modes - 1))
 
-    # amortized single-mode corrected matvec (chained in one program)
+    # amortized single-mode corrected matvec.  Two measures guard against
+    # the remote-TPU tunnel's artifacts: (a) the chain ends in a scalar
+    # reduce whose value is transferred (float(...)) so execution cannot
+    # complete lazily/asynchronously; (b) two chain lengths K and 5K are
+    # timed and differenced, cancelling fixed dispatch/transfer latency.
     u = jnp.asarray(q, dtype=jnp.float32)
     caches, ms0 = solver._caches, solver._mode_statics[0]
     leaf, static = solver._tcfg.leaf_level, solver._fmm_static
     K = matvec_reps
 
-    @jax.jit
-    def chain(c, m, s, v):
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chain(c, m, s, v, k):
         def body(w, _):
             return A.fmm_apply_mode(leaf, s, c, m, 0, w), None
-        return jax.lax.scan(body, v, None, length=K)[0]
+        out = jax.lax.scan(body, v, None, length=k)[0]
+        return jnp.sum(out)
 
     t0 = time.time()
-    chain(caches, ms0, static, u).block_until_ready()
+    float(chain(caches, ms0, static, u, K))
     matvec_compile_s = time.time() - t0
-    times = []
-    for rep in range(3):
-        # vary the input per rep: identical (program, args) executions can
-        # be memoized by the remote-TPU tunnel and time as ~0
+    float(chain(caches, ms0, static, u, 5 * K))  # compile long chain
+
+    def timed(k, rep):
         urep = u + jnp.float32(1e-6 * (rep + 1))
         urep.block_until_ready()
         t0 = time.perf_counter()
-        chain(caches, ms0, static, urep).block_until_ready()
-        times.append((time.perf_counter() - t0) / K)
-    matvec_s = float(np.median(times))
+        float(chain(caches, ms0, static, urep, k))
+        return time.perf_counter() - t0
+
+    diffs = [(timed(5 * K, r + 3) - timed(K, r)) / (4 * K) for r in range(3)]
+    matvec_s = float(np.median(diffs))
 
     t0 = time.time()
     res = solver.solve(charge)
