@@ -200,51 +200,73 @@ def _vlist_gather(M_l: jnp.ndarray):
 _M2L_TRANSIENT_CAP_BYTES = 512 * 1024 * 1024
 
 
-def _m2l_translate(E_l, cosr_l, gsel):
-    """Fused V-list translation at one level -> local expansions (m, m, r).
-
-    E_l: (4, m2, m2, r*27*r) with pair axis (a, o, b); cosr_l: (4, r*27*r);
-    gsel: (4, m2, m2, 27*r) from _vlist_gather.  The fused far-field
-    operator exp(-E) cos/r is formed on the fly (fused elementwise on the
-    cache read) and contracted as one batched (r x 27r) @ (27r,) matvec per
-    box per parity class -- all tensors keep their large dims minor-most so
-    nothing pads in HBM.  Large levels stream in row chunks to bound the
-    transient.
-    """
-    m2 = E_l.shape[1]
-    P = E_l.shape[-1]
-    ob = gsel.shape[-1]
-    r = P // ob
-
-    class_bytes = m2 * m2 * P * E_l.dtype.itemsize
-    chunk = m2
-    while chunk > 1 and (class_bytes // (m2 // chunk)) > _M2L_TRANSIENT_CAP_BYTES:
-        chunk //= 2
-
-    def one_chunk(c, Eb, gb):
-        rows = Eb.shape[0]
-        op = (jnp.exp(-Eb) * cosr_l[c]).reshape(rows, m2, r, ob)
-        return jnp.einsum("xyaq,xyq->xya", op, gb, precision=HIGHEST)
-
-    outs = []
-    for c in range(4):
-        if chunk == m2:
-            outs.append(one_chunk(c, E_l[c], gsel[c]))
-        else:
-            nb = m2 // chunk
-            Ec = E_l[c].reshape(nb, chunk, m2, P)
-            gc = gsel[c].reshape(nb, chunk, m2, ob)
-            out_c = jax.lax.map(
-                lambda args, c=c: one_chunk(c, args[0], args[1]), (Ec, gc)
-            )
-            outs.append(out_c.reshape(m2, m2, r))
-    # interleave the 4 parity classes: L[2x+px, 2y+py] = outs[2px+py][x, y]
+def _interleave_classes(outs, m2, r):
+    """Interleave the 4 parity classes: L[2x+px, 2y+py] = outs[2px+py][x, y]."""
     return (
         jnp.stack(outs)
         .reshape(2, 2, m2, m2, r)
         .transpose(2, 0, 3, 1, 4)
         .reshape(2 * m2, 2 * m2, r)
     )
+
+
+def _row_chunk(m2, P, itemsize):
+    """Rows per streamed chunk so the materialized transient stays bounded."""
+    class_bytes = m2 * m2 * P * itemsize
+    chunk = m2
+    while chunk > 1 and (class_bytes // (m2 // chunk)) > _M2L_TRANSIENT_CAP_BYTES:
+        chunk //= 2
+    return chunk
+
+
+def _m2l_translate(E_l, cosr_l, gsel):
+    """Fused V-list translation at one level -> local expansions (m, m, r).
+
+    E_l: (4, m2, m2, r*27*r) with pair axis (a, o, b) -- or the factored
+    {'patch': (4, m2, m2, Q), 'W': (4, Q, P)} form (fmm.smooth.
+    build_m2l_patch_fine), in which case each streamed chunk first re-forms
+    its E rows as one (chunk*m2, Q) @ (Q, P) MXU matmul.  cosr_l:
+    (4, r*27*r); gsel: (4, m2, m2, 27*r) from _vlist_gather.  The fused
+    far-field operator exp(-E) cos/r is formed on the fly (fused
+    elementwise on the cache read) and contracted as one batched
+    (r x 27r) @ (27r,) matvec per box per parity class -- all tensors keep
+    their large dims minor-most so nothing pads in HBM.  Large levels
+    stream in row chunks to bound the transient.
+    """
+    factored = isinstance(E_l, dict)
+    if factored:
+        patch, W = E_l["patch"], E_l["W"]
+        m2, P = patch.shape[1], W.shape[-1]
+        itemsize = patch.dtype.itemsize
+    else:
+        m2, P = E_l.shape[1], E_l.shape[-1]
+        itemsize = E_l.dtype.itemsize
+    ob = gsel.shape[-1]
+    r = P // ob
+    chunk = _row_chunk(m2, P, itemsize)
+
+    def one_chunk(c, Eb, gb):
+        rows = Eb.shape[0]
+        if factored:
+            Eb = jnp.einsum("xyq,qp->xyp", Eb, W[c], precision=HIGHEST)
+        op = (jnp.exp(-Eb) * cosr_l[c]).reshape(rows, m2, r, ob)
+        return jnp.einsum("xyaq,xyq->xya", op, gb, precision=HIGHEST)
+
+    src = patch if factored else E_l
+    Q = src.shape[-1]
+    outs = []
+    for c in range(4):
+        if chunk == m2:
+            outs.append(one_chunk(c, src[c], gsel[c]))
+        else:
+            nb = m2 // chunk
+            Ec = src[c].reshape(nb, chunk, m2, Q)
+            gc = gsel[c].reshape(nb, chunk, m2, ob)
+            out_c = jax.lax.map(
+                lambda args, c=c: one_chunk(c, args[0], args[1]), (Ec, gc)
+            )
+            outs.append(out_c.reshape(m2, m2, r))
+    return _interleave_classes(outs, m2, r)
 
 
 def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr):

@@ -174,6 +174,48 @@ def _fine_E_class(W: jnp.ndarray, padded: jnp.ndarray, B: int) -> jnp.ndarray:
     return jnp.einsum("pabq,qabxy->xyp", W, patch, precision=HIGHEST)
 
 
+def build_m2l_patch_fine(
+    grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
+    coeffs: jnp.ndarray, dtype=jnp.float32,
+) -> dict:
+    """Factored E at a fine level: {'patch': (4, m2, m2, Q), 'W': (Q, P)}.
+
+    E is *exactly* a linear map of the local sigma_t coefficient patch
+    (Q = (7B)^2 * nq values per box): E[c, x, y, :] = patch @ W.  Storing
+    the factors instead of the dense (4, m2, m2, P= r*27*r) tensor is a
+    16x footprint cut at the leaf (Q = 441 vs P = 6912 for deg 3, np 4) --
+    the dense form is 7.2 GB at 512^2; the factors are 462 MB + 12 MB.
+    fmm.apply._m2l_translate re-forms E chunk-by-chunk inside the matvec
+    (VERDICT item 4: this is the "recompute-E-on-the-fly" option, chosen
+    over lossy SVD because the factorization is exact).  Same (a, o, b)
+    pair layout and dx scaling as build_m2l_E_fine (folded into W).
+    """
+    B = tcfg.box_size_squares(level)
+    m2 = tcfg.boxes(level) // 2
+    PX = 7 * B
+    nq = grid.nq
+    W = fine_m2l_weights_np(grid.deg, np_cheb, B)      # (4, P, PX, PX, nq)
+    # conv_general_dilated_patches emits channels (q, a, b)-major; fold dx
+    Wr = W.transpose(0, 4, 2, 3, 1).reshape(4, nq * PX * PX, -1) * grid.dx
+    c = coeffs.astype(dtype)
+    pad = jnp.pad(c, ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)))
+    ext = 2 * m2 * B + 5 * B
+    patches = []
+    for px in (0, 1):
+        for py in (0, 1):
+            sl = pad[px * B : px * B + ext, py * B : py * B + ext]
+            p = jax.lax.conv_general_dilated_patches(
+                sl.transpose(2, 0, 1)[None], filter_shape=(PX, PX),
+                window_strides=(2 * B, 2 * B), padding="VALID",
+                precision=HIGHEST,
+            )[0]                                        # (nq*PX*PX, m2, m2)
+            patches.append(p.transpose(1, 2, 0))
+    return {
+        "patch": jnp.stack(patches),                   # (4, m2, m2, Q)
+        "W": jnp.asarray(Wr, dtype=dtype),             # (4, Q, P)
+    }
+
+
 def build_m2l_E_fine(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
     coeffs: jnp.ndarray, dtype=jnp.float32,
@@ -313,17 +355,25 @@ def build_m2l_E_coarse(
     return jnp.asarray(E_out, dtype=dtype)
 
 
+# dense-E levels above this footprint store the exact (patch, W) factors
+# instead and re-form E inside the chunked translate (build_m2l_patch_fine)
+_DENSE_E_LEVEL_CAP_BYTES = 768 * 1024 * 1024
+
+
 def build_m2l_E(
     grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs: jnp.ndarray,
-    dtype=jnp.float32, coeffs_np=None,
+    dtype=jnp.float32, coeffs_np=None, dense_cap_bytes=None,
 ) -> dict:
-    """Full per-level M2L E cache: dict level -> (4, m2, m2, r*27*r).
+    """Full per-level M2L E cache: dict level -> (4, m2, m2, r*27*r) dense,
+    or the factored {'patch', 'W'} form when dense would exceed
+    dense_cap_bytes (512^2 leaf dense E alone is 7.2 GB f32).
 
     Mode-independent; serves every Fourier kernel (cf. the reference's
     per-mode cache passes, AnisoWrapper.cpp:72-90).
     """
     from .. import native
 
+    r = np_cheb * np_cheb
     cache = {}
     coarse_levels = [
         lv for lv in range(coarsest_m2l_level(), tcfg.leaf_level + 1)
@@ -334,11 +384,25 @@ def build_m2l_E(
         log.info(
             f"m2l E coarse levels {coarse_levels}: per-pair path = {path}"
         )
+    if dense_cap_bytes is None:
+        dense_cap_bytes = _DENSE_E_LEVEL_CAP_BYTES
+    itemsize = jnp.dtype(dtype).itemsize
     for level in range(coarsest_m2l_level(), tcfg.leaf_level + 1):
         if tcfg.box_size_squares(level) <= 2:
-            cache[level] = build_m2l_E_fine(
-                grid, tcfg, level, np_cheb, coeffs, dtype
-            )
+            m2 = tcfg.boxes(level) // 2
+            dense_bytes = 4 * m2 * m2 * (r * 27 * r) * itemsize
+            if dense_bytes > dense_cap_bytes:
+                log.info(
+                    f"m2l E level {level}: factored (dense would be "
+                    f"{dense_bytes / 1e9:.2f} GB)"
+                )
+                cache[level] = build_m2l_patch_fine(
+                    grid, tcfg, level, np_cheb, coeffs, dtype
+                )
+            else:
+                cache[level] = build_m2l_E_fine(
+                    grid, tcfg, level, np_cheb, coeffs, dtype
+                )
         else:
             cache[level] = build_m2l_E_coarse(
                 grid, tcfg, level, np_cheb, coeffs, dtype,
@@ -372,5 +436,10 @@ def build_m2l_E_host(
 def m2l_cache_bytes(cache: dict) -> int:
     """Total footprint of the per-level E tensors (VERDICT item 4:
     footprint accounting; the reference prints the analogous per-mode cache
-    report in Aniso.cpp:19-47 -- ours is mode-count independent)."""
-    return sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in cache.values())
+    report in Aniso.cpp:19-47 -- ours is mode-count independent).
+    Factored levels count their (patch, W) factors."""
+    total = 0
+    for v in cache.values():
+        leaves = v.values() if isinstance(v, dict) else (v,)
+        total += sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in leaves)
+    return total

@@ -83,6 +83,10 @@ def shard_pytree(mesh: Mesh, tree):
         keys = "/".join(str(getattr(p, "key", p)) for p in path)
         if "m2l_E" in keys and x.ndim == 4 and _divisible(x.shape, mesh, 1, 2):
             return jax.device_put(x, NamedSharding(mesh, P(None, "x", "y")))
+        if "m2l_E" in keys and x.ndim != 4:
+            # factored-level W factor (4, Q, P) and other small operators:
+            # replicated -- never spuriously sharded by the generic rule
+            return replicate(mesh, x)
         if "near_E" in keys and x.ndim == 6 and _divisible(x.shape, mesh, 4, 5):
             return jax.device_put(
                 x, NamedSharding(mesh, P(None, None, None, None, "x", "y"))

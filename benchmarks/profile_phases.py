@@ -89,7 +89,8 @@ def main():
     chain(u).block_until_ready()
     t_chain = (time.perf_counter() - t0) / K
 
-    m2l_bytes = sum(int(np.prod(v.shape)) * 4 for v in caches["m2l_E"].values())
+    from aniso_tpu.fmm.smooth import m2l_cache_bytes
+    m2l_bytes = m2l_cache_bytes(caches["m2l_E"])
     near_bytes = int(np.prod(caches["near_E"].shape)) * 4
     print(f"up      {t_up*1e3:8.3f} ms")
     print(f"down    {t_down*1e3:8.3f} ms   (m2l E cache {m2l_bytes/1e6:.1f} MB)")

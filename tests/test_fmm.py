@@ -198,3 +198,43 @@ def test_m2l_translate_chunked_matches_unchunked(monkeypatch):
     monkeypatch.setattr(A, "_M2L_TRANSIENT_CAP_BYTES", 1)
     out = np.asarray(A._m2l_translate(E, cosr, g))
     np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("cap", [0])
+def test_factored_fine_E_matches_dense(monkeypatch, cap):
+    """Factored (patch, W) fine-level storage reproduces the dense E path.
+
+    E is exactly linear in the local sigma_t patch (fmm.smooth.
+    build_m2l_patch_fine), so forcing every fine level to the factored
+    representation (dense_cap_bytes=0) must leave the corrected matvec
+    unchanged to rounding."""
+    import aniso_tpu.fmm.smooth as S
+
+    sz, deg = 16, 2
+    cfg = SolverConfig(
+        domain_size=sz, quad_rule=deg, kernel_size=2, g=0.5,
+        sing_rule=6, np_cheb=4, dtype="float64",
+    )
+    rng = np.random.default_rng(11)
+    solver = TransportSolver(cfg, backend="fmm")
+    g = solver.grid
+    sig_s = 1.0 + rng.random(g.nodes_x.shape)
+    sig_t = sig_s + 0.3
+
+    solver.set_coeff(sig_s, sig_t)
+    u = rng.random(g.nodes_x.shape)
+    ref = [np.asarray(solver.apply_mode(m, jnp.asarray(u))) for m in (0, 1)]
+    # dense-form leaf levels are factored when above the (patched) cap
+    assert all(
+        not isinstance(v, dict) for v in solver._caches["m2l_E"].values()
+    )
+
+    monkeypatch.setattr(S, "_DENSE_E_LEVEL_CAP_BYTES", cap)
+    solver2 = TransportSolver(cfg, backend="fmm")
+    solver2.set_coeff(sig_s, sig_t)
+    assert any(
+        isinstance(v, dict) for v in solver2._caches["m2l_E"].values()
+    )
+    for m in (0, 1):
+        out = np.asarray(solver2.apply_mode(m, jnp.asarray(u)))
+        np.testing.assert_allclose(out, ref[m], rtol=1e-12, atol=1e-13)
