@@ -285,14 +285,15 @@ def build_m2l_E_fine_np(
     return out * grid.dx
 
 
-def build_m2l_E_coarse(
+def build_m2l_E_coarse_np(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
-    coeffs: jnp.ndarray, dtype=jnp.float32, chunk: int = 4096,
-    coeffs_np=None,
-) -> jnp.ndarray:
-    """(4, m2, m2, r*27*r) E at a coarse level (B >= 4) via exact per-pair
-    line integrals on the host (native OpenMP engine; JAX fallback).
-    Same (a, o, b) pair-axis layout as build_m2l_E_fine.
+    coeffs: jnp.ndarray, chunk: int = 4096, coeffs_np=None,
+) -> np.ndarray:
+    """f64 numpy (4, m2, m2, r*27*r) E at a coarse level (B >= 4) via exact
+    per-pair line integrals on the host (native OpenMP engine; JAX
+    fallback).  Same (a, o, b) pair-axis layout as build_m2l_E_fine.
+    Computed once per set_coeff and shared by the f32 device cache and the
+    f64 refinement twin (the integrals are f64 either way).
 
     coeffs_np: optional host copy of coeffs (avoids a device read-back)."""
     B = tcfg.box_size_squares(level)
@@ -310,7 +311,7 @@ def build_m2l_E_coarse(
         pair_E = None
     else:
         if coeffs is None:
-            coeffs = jnp.asarray(coeffs_np, dtype=dtype)
+            coeffs = jnp.asarray(coeffs_np)
         span = 5 * B
         n_pieces = max(1, -(-span // 6))
         li = make_line_integral(grid, 8, n_pieces=n_pieces)
@@ -346,13 +347,27 @@ def build_m2l_E_coarse(
                         en = min(st + chunk, n_pairs)
                         seg_s = np.zeros((chunk, 2)); seg_s[: en - st] = flat_s[st:en]
                         seg_t = np.zeros((chunk, 2)); seg_t[: en - st] = flat_t[st:en]
-                        Ec = pair_E(coeffs.astype(dtype),
-                                    jnp.asarray(seg_s, dtype=dtype),
-                                    jnp.asarray(seg_t, dtype=dtype))
-                        Es[st:en] = np.asarray(Ec)[: en - st]
+                        Ec = pair_E(coeffs,
+                                    jnp.asarray(seg_s, dtype=coeffs.dtype),
+                                    jnp.asarray(seg_t, dtype=coeffs.dtype))
+                        Es[st:en] = np.asarray(Ec, np.float64)[: en - st]
                 E_out[2 * px + py, :, :, oi] = Es.reshape(m2, m2, r, r)
-    E_out = E_out.transpose(0, 1, 2, 4, 3, 5).reshape(4, m2, m2, -1)
-    return jnp.asarray(E_out, dtype=dtype)
+    return E_out.transpose(0, 1, 2, 4, 3, 5).reshape(4, m2, m2, -1)
+
+
+def build_m2l_E_coarse(
+    grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
+    coeffs: jnp.ndarray, dtype=jnp.float32, chunk: int = 4096,
+    coeffs_np=None, precomputed_np=None,
+) -> jnp.ndarray:
+    """Device-dtype coarse-level E; `precomputed_np` reuses an
+    already-built f64 host tensor (refine mode builds it once for both
+    the f32 cache and the f64 twin)."""
+    if precomputed_np is None:
+        precomputed_np = build_m2l_E_coarse_np(
+            grid, tcfg, level, np_cheb, coeffs, chunk, coeffs_np
+        )
+    return jnp.asarray(precomputed_np, dtype=dtype)
 
 
 # dense-E levels above this footprint store the exact (patch, W) factors
@@ -360,9 +375,29 @@ def build_m2l_E_coarse(
 _DENSE_E_LEVEL_CAP_BYTES = 768 * 1024 * 1024
 
 
+def coarse_m2l_levels(tcfg: TreeConfig) -> list:
+    return [
+        lv for lv in range(coarsest_m2l_level(), tcfg.leaf_level + 1)
+        if tcfg.box_size_squares(lv) > 2
+    ]
+
+
+def build_m2l_E_coarse_all_np(
+    grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs_np: np.ndarray,
+) -> dict:
+    """f64 host E for every coarse level (shared by cache + twin)."""
+    return {
+        lv: build_m2l_E_coarse_np(
+            grid, tcfg, lv, np_cheb, None, coeffs_np=coeffs_np
+        )
+        for lv in coarse_m2l_levels(tcfg)
+    }
+
+
 def build_m2l_E(
     grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs: jnp.ndarray,
     dtype=jnp.float32, coeffs_np=None, dense_cap_bytes=None,
+    coarse_np=None,
 ) -> dict:
     """Full per-level M2L E cache: dict level -> (4, m2, m2, r*27*r) dense,
     or the factored {'patch', 'W'} form when dense would exceed
@@ -375,11 +410,8 @@ def build_m2l_E(
 
     r = np_cheb * np_cheb
     cache = {}
-    coarse_levels = [
-        lv for lv in range(coarsest_m2l_level(), tcfg.leaf_level + 1)
-        if tcfg.box_size_squares(lv) > 2
-    ]
-    if coarse_levels:
+    coarse_levels = coarse_m2l_levels(tcfg)
+    if coarse_levels and not coarse_np:
         path = "native-openmp" if native.available() else "jax-chunked"
         log.info(
             f"m2l E coarse levels {coarse_levels}: per-pair path = {path}"
@@ -407,17 +439,19 @@ def build_m2l_E(
             cache[level] = build_m2l_E_coarse(
                 grid, tcfg, level, np_cheb, coeffs, dtype,
                 coeffs_np=coeffs_np,
+                precomputed_np=None if not coarse_np else coarse_np.get(level),
             )
     return cache
 
 
 def build_m2l_E_host(
     grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs_np: np.ndarray,
+    coarse_np=None,
 ) -> dict:
     """Host-resident f64 M2L E cache (refinement twin): numpy/BLAS fine
-    levels + native coarse levels, returned as CPU-device jnp arrays."""
-    import jax
-
+    levels + native coarse levels, returned as CPU-device jnp arrays.
+    `coarse_np` shares coarse-level tensors already built for the f32
+    cache (they are f64 host integrals either way)."""
     cache = {}
     for level in range(coarsest_m2l_level(), tcfg.leaf_level + 1):
         if tcfg.box_size_squares(level) <= 2:
@@ -429,6 +463,7 @@ def build_m2l_E_host(
             cache[level] = build_m2l_E_coarse(
                 grid, tcfg, level, np_cheb, None,
                 dtype=jnp.float64, coeffs_np=coeffs_np,
+                precomputed_np=None if not coarse_np else coarse_np.get(level),
             )
     return cache
 

@@ -281,10 +281,27 @@ class TransportSolver:
             self._build_fmm_caches(coeffs_np, sigma_nodes)
 
     def _build_fmm_caches(self, coeffs_np, sigma_nodes):
-        from ..fmm.smooth import build_near_E, build_m2l_E, m2l_cache_bytes
+        from ..fmm.smooth import (
+            build_near_E, build_m2l_E, m2l_cache_bytes,
+            build_m2l_E_coarse_all_np, coarse_m2l_levels,
+        )
+
+        import time as _time
 
         g = self.grid
         w_glob = g.w2d * 0.25 * g.dx * g.dx
+        phases = {}
+
+        # coarse-level per-pair line integrals are f64 host work either
+        # way; in refine mode build them ONCE and share between the f32
+        # device cache and the f64 twin (they used to be computed twice)
+        coarse_np = None
+        if self.cfg.refine and coarse_m2l_levels(self._tcfg):
+            t0 = _time.time()
+            coarse_np = build_m2l_E_coarse_all_np(
+                g, self._tcfg, self.cfg.np_cheb, coeffs_np
+            )
+            phases["coarse_host_s"] = _time.time() - t0
 
         def build(dtype):
             coeffs_dev = jnp.asarray(coeffs_np, dtype=dtype)
@@ -292,30 +309,37 @@ class TransportSolver:
                 "near_E": build_near_E(g, coeffs_dev, dtype=dtype),
                 "m2l_E": build_m2l_E(
                     g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
-                    dtype=dtype, coeffs_np=coeffs_np,
+                    dtype=dtype, coeffs_np=coeffs_np, coarse_np=coarse_np,
                 ),
                 "sigma_w": jnp.asarray(sigma_nodes * w_glob, dtype=dtype),
             }
 
-        caches = build(self.dtype)
+        t0 = _time.time()
+        caches = jax.block_until_ready(build(self.dtype))
+        phases["device_build_s"] = _time.time() - t0
         if self.cfg.refine:
             # f64 twin built (numpy/BLAS -- zero XLA compiles) and kept on
             # the host CPU backend (see __init__); the accelerator holds
             # only the f32 fast path
             from ..fmm.smooth import build_near_E_np, build_m2l_E_host
 
+            t0 = _time.time()
             with jax.default_device(self._cpu):
                 self._caches64 = {
                     "near_E": jnp.asarray(
                         build_near_E_np(g, coeffs_np), dtype=jnp.float64
                     ),
                     "m2l_E": build_m2l_E_host(
-                        g, self._tcfg, self.cfg.np_cheb, coeffs_np
+                        g, self._tcfg, self.cfg.np_cheb, coeffs_np,
+                        coarse_np=coarse_np,
                     ),
                     "sigma_w": jnp.asarray(
                         sigma_nodes * w_glob, dtype=jnp.float64
                     ),
                 }
+            phases["twin_host_s"] = _time.time() - t0
+        self.set_coeff_phases = {k: round(v, 2) for k, v in phases.items()}
+        log.info(f"set_coeff phases: {self.set_coeff_phases}")
         mb = (
             m2l_cache_bytes(caches["m2l_E"])
             + caches["near_E"].size * caches["near_E"].dtype.itemsize
