@@ -1,15 +1,23 @@
 #!/usr/bin/env python
-"""Per-phase timing of the corrected FMM matvec on the bench problem.
+"""Per-phase timing of the corrected FMM matvec (VERDICT weak item 2).
 
-Times (jitted separately): up sweep, down sweep (M2L+L2L), L2T, near field,
-and the full fused apply.  Run on TPU to see which phase holds the roofline.
+Times (jitted separately, caches passed as ARGS -- never captured as
+constants, which would ship GBs through the remote-compile tunnel):
+up sweep, down sweep (M2L+L2L+L2T), near field, the full fused apply, and
+a K-chained scan (the amortized cost a jitted GMRES actually pays).
+
+Appends a JSON record per size to benchmarks/results_phases.json.
+
+Usage: python benchmarks/profile_phases.py --sizes 64 128 [--reps 10]
 """
 
+import argparse
+import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 
@@ -20,8 +28,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+RESULTS = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "results_phases.json"
+)
 
-def timeit(fn, *args, reps=30):
+
+def timeit(fn, *args, reps=10):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -31,12 +43,12 @@ def timeit(fn, *args, reps=30):
     return (time.perf_counter() - t0) / reps
 
 
-def main():
+def run_one(sz, deg, reps, K):
     from aniso_tpu import SolverConfig
     from aniso_tpu.solver.operator import TransportSolver
     from aniso_tpu.fmm import apply as A
+    from aniso_tpu.fmm.smooth import m2l_cache_bytes
 
-    sz, deg = 64, 3
     cfg = SolverConfig(domain_size=sz, quad_rule=deg, kernel_size=1, g=0.95,
                        sing_rule=8, np_cheb=4, dtype="float32")
     solver = TransportSolver(cfg, backend="fmm")
@@ -52,54 +64,75 @@ def main():
     ms = solver._mode_statics[0]
     leaf = solver._tcfg.leaf_level
 
-    reps = int(os.environ.get("PROFILE_REPS", "10"))
-
-    # NOTE: per-phase wall times include a fixed per-dispatch latency
-    # (~2.5 ms through the remote-TPU tunnel); the chained full-apply row
-    # is the true amortized per-matvec cost (what a jitted GMRES pays).
-    upf = jax.jit(lambda u: A._up_pass(static, leaf, u))
-    M = {k: jax.block_until_ready(v) for k, v in upf(u).items()}
-    t_up = timeit(upf, u, reps=reps)
+    upf = jax.jit(lambda st, u: A._up_pass(st, leaf, u))
+    M = {k: jax.block_until_ready(v) for k, v in upf(static, u).items()}
+    t_up = timeit(upf, static, u, reps=reps)
 
     down = jax.jit(
-        lambda M: jnp.einsum(
-            "kc,ijc->ijk", static["l2t"],
-            A._down_pass(static, leaf, M, caches["m2l_E"], ms["m2l_cosr"]),
+        lambda st, c, ms, M: jnp.einsum(
+            "kc,ijc->ijk", st["l2t"],
+            A._down_pass(st, leaf, M, c["m2l_E"], ms["m2l_cosr"]),
         )
     )
-    t_down = timeit(down, M, reps=reps)
+    t_down = timeit(down, static, caches, ms, M, reps=reps)
 
-    near = jax.jit(lambda u: A._near_apply(caches, ms, 0, u))
-    t_near = timeit(near, u, reps=reps)
+    near = jax.jit(lambda c, ms, u: A._near_apply(c, ms, 0, u))
+    t_near = timeit(near, caches, ms, u, reps=reps)
 
-    full = jax.jit(lambda u: A.fmm_apply_mode(leaf, static, caches, ms, 0, u))
-    t_full = timeit(full, u, reps=reps)
+    full = jax.jit(
+        lambda st, c, ms, u: A.fmm_apply_mode(leaf, st, c, ms, 0, u)
+    )
+    t_full = timeit(full, static, caches, ms, u, reps=reps)
 
-    K = 50
+    import functools
 
-    @jax.jit
-    def chain(u):
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def chain(st, c, ms, u, k):
         def body(v, _):
-            return A.fmm_apply_mode(leaf, static, caches, ms, 0, v), None
-        v, _ = jax.lax.scan(body, u, None, length=K)
+            return A.fmm_apply_mode(leaf, st, c, ms, 0, v), None
+        v, _ = jax.lax.scan(body, u, None, length=k)
         return v
 
-    chain(u).block_until_ready()
+    jax.block_until_ready(chain(static, caches, ms, u, K))
     t0 = time.perf_counter()
-    chain(u).block_until_ready()
+    jax.block_until_ready(chain(static, caches, ms, u, K))
     t_chain = (time.perf_counter() - t0) / K
 
-    from aniso_tpu.fmm.smooth import m2l_cache_bytes
     m2l_bytes = m2l_cache_bytes(caches["m2l_E"])
     near_bytes = int(np.prod(caches["near_E"].shape)) * 4
-    print(f"up      {t_up*1e3:8.3f} ms")
-    print(f"down    {t_down*1e3:8.3f} ms   (m2l E cache {m2l_bytes/1e6:.1f} MB)")
-    print(f"near    {t_near*1e3:8.3f} ms   (near E cache {near_bytes/1e6:.1f} MB)")
-    print(f"full    {t_full*1e3:8.3f} ms   (single dispatch, latency-bound)")
-    print(f"chained {t_chain*1e3:8.3f} ms/apply over {K} scanned applies")
-    hbm = (m2l_bytes + near_bytes) / t_chain / 1e9
-    print(f"effective cache bandwidth {hbm:.1f} GB/s "
-          f"({g.n_nodes / t_chain / 1e6:.1f} M nodes/s)")
+    rec = {
+        "sz": sz, "deg": deg, "nodes": g.n_nodes, "reps": reps, "K": K,
+        "up_ms": round(t_up * 1e3, 3),
+        "down_ms": round(t_down * 1e3, 3),
+        "near_ms": round(t_near * 1e3, 3),
+        "full_single_dispatch_ms": round(t_full * 1e3, 3),
+        "chained_ms_per_apply": round(t_chain * 1e3, 3),
+        "m2l_cache_mb": round(m2l_bytes / 1e6, 1),
+        "near_cache_mb": round(near_bytes / 1e6, 1),
+        "cache_bw_gbps": round((m2l_bytes + near_bytes) / t_chain / 1e9, 1),
+        "nodes_per_s": round(g.n_nodes / t_chain, 0),
+    }
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="+", default=[64])
+    ap.add_argument("--deg", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--chain", type=int, default=50)
+    args = ap.parse_args()
+
+    all_recs = []
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            all_recs = json.load(f)
+    for sz in args.sizes:
+        rec = run_one(sz, args.deg, args.reps, args.chain)
+        print(json.dumps(rec), flush=True)
+        all_recs = [r for r in all_recs if r.get("sz") != sz] + [rec]
+        with open(RESULTS, "w") as f:
+            json.dump(all_recs, f, indent=1)
 
 
 if __name__ == "__main__":

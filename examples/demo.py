@@ -38,6 +38,9 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the ambient JAX_PLATFORMS "
                         "pin cannot be overridden from the shell)")
+    p.add_argument("--json-out", default=None,
+                   help="write a JSON record of the run (sizes, timings, "
+                        "residual) to this path")
     args = p.parse_args(argv)
 
     import jax
@@ -98,6 +101,25 @@ def main(argv=None) -> int:
     x0 = np.asarray(res.x)[0]
     log.info(f"mode-0 intensity: min={x0.min():.6f} max={x0.max():.6f}")
     print(timer.report())
+    if args.json_out:
+        import json
+
+        rec = {
+            "size": args.size, "deg": args.deg, "modes": args.modes,
+            "g": args.g, "sigma_s": args.sigma_s, "sigma_a": args.sigma_a,
+            "tol": args.tol, "dsa": bool(args.dsa),
+            "refine": bool(args.refine),
+            "converged": ok,
+            "residual": float(res.residual),
+            "iterations": int(res.iterations),
+            "refinements": int(getattr(res, "refinements", 0)),
+            "phase_seconds": {k: round(v, 2)
+                              for k, v in timer.times().items()},
+            "set_coeff_phases": getattr(solver, "set_coeff_phases", None),
+            "mode0_min": float(x0.min()), "mode0_max": float(x0.max()),
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(rec, f, indent=1)
     return 0 if ok else 1
 
 
