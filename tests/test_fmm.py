@@ -238,3 +238,24 @@ def test_factored_fine_E_matches_dense(monkeypatch, cap):
     for m in (0, 1):
         out = np.asarray(solver2.apply_mode(m, jnp.asarray(u)))
         np.testing.assert_allclose(out, ref[m], rtol=1e-12, atol=1e-13)
+
+
+def test_m2l_translate_factored_chunked(monkeypatch):
+    """Factored translate under row-chunk streaming == unchunked dense."""
+    import aniso_tpu.fmm.apply as A
+
+    rng = np.random.default_rng(7)
+    m2, r, Q = 8, 4, 12
+    ob = 27 * r
+    P = r * ob
+    patch = jnp.asarray(rng.random((4, m2, m2, Q)))
+    W = jnp.asarray(rng.random((4, Q, P)))
+    E = jnp.einsum("cxyq,cqp->cxyp", patch, W)
+    cosr = jnp.asarray(rng.random((4, P)))
+    g = jnp.asarray(rng.random((4, m2, m2, ob)))
+    ref = np.asarray(A._m2l_translate(E, cosr, g))
+    out = np.asarray(A._m2l_translate({"patch": patch, "W": W}, cosr, g))
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
+    monkeypatch.setattr(A, "_M2L_TRANSIENT_CAP_BYTES", 1)
+    out2 = np.asarray(A._m2l_translate({"patch": patch, "W": W}, cosr, g))
+    np.testing.assert_allclose(out2, ref, rtol=1e-12, atol=1e-12)
