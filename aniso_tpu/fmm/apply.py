@@ -199,6 +199,14 @@ def _vlist_gather(M_l: jnp.ndarray):
 # 3.6 GB f64 per class -- unchunked it would double peak HBM)
 _M2L_TRANSIENT_CAP_BYTES = 512 * 1024 * 1024
 
+# route factored-level translates through the fused Pallas kernel
+# (fmm.pallas_m2l): E forms and dies inside VMEM instead of streaming
+# ~GBs of transient through HBM.  Opt-in while the axon Pallas path is
+# being qualified; interpret mode keeps it testable on CPU.
+import os as _os
+
+USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "0") == "1"
+
 
 def _interleave_classes(outs, m2, r):
     """Interleave the 4 parity classes: L[2x+px, 2y+py] = outs[2px+py][x, y]."""
@@ -238,6 +246,18 @@ def _m2l_translate(E_l, cosr_l, gsel):
         patch, W = E_l["patch"], E_l["W"]
         m2, P = patch.shape[1], W.shape[-1]
         itemsize = patch.dtype.itemsize
+        if USE_PALLAS_M2L and patch.dtype == jnp.float32:
+            from .pallas_m2l import m2l_translate_class_pallas
+
+            interpret = jax.default_backend() == "cpu"
+            r = P // gsel.shape[-1]
+            outs = [
+                m2l_translate_class_pallas(
+                    patch[c], W[c], cosr_l[c], gsel[c], interpret=interpret
+                )
+                for c in range(4)
+            ]
+            return _interleave_classes(outs, m2, r)
     else:
         m2, P = E_l.shape[1], E_l.shape[-1]
         itemsize = E_l.dtype.itemsize
