@@ -63,4 +63,7 @@ class Logger:
         self._emit(CRITICAL, msg)
 
 
-log = Logger(level=int(os.environ.get("ANISO_TPU_LOGLEVEL", WARNING)))
+# default INFO: cache-path selection and footprint reports must be visible
+# by default (they explain order-of-magnitude setup/memory differences);
+# quiet with ANISO_TPU_LOGLEVEL=2 (WARNING)
+log = Logger(level=int(os.environ.get("ANISO_TPU_LOGLEVEL", INFO)))
