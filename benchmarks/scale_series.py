@@ -114,6 +114,7 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
         "refinements": int(getattr(res, "refinements", 0)),
         "history": [float(h) for h in getattr(res, "history", [])],
         "e_cache_mb_f32": round(cache_mb, 1),
+        "set_coeff_phases": getattr(solver, "set_coeff_phases", None),
     }
     return rec
 
