@@ -90,12 +90,18 @@ def cmd_run(args) -> int:
     if warm is not None:
         log.info(f"warm start from {args.result}")
         N = cfg.kernel_size
-        x0 = jnp.tile(
-            jnp.asarray(warm, dtype=solver.dtype).reshape(
-                (1,) + grid.nodes_x.shape),
-            (N, 1, 1, 1),
-        ) if N > 1 else jnp.asarray(
-            warm, dtype=solver.dtype).reshape((1,) + grid.nodes_x.shape)
+        # result.csv is the mode-0 solution (main.cpp:138-140); higher
+        # modes start from zero (tiling mode 0 into them would be a
+        # strictly worse initial guess than zero)
+        x0 = (
+            jnp.zeros((N,) + grid.nodes_x.shape, dtype=solver.dtype)
+            .at[0]
+            .set(
+                jnp.asarray(warm, dtype=solver.dtype).reshape(
+                    grid.nodes_x.shape
+                )
+            )
+        )
 
     N = cfg.kernel_size
     q = np.zeros((N,) + grid.nodes_x.shape)

@@ -50,6 +50,10 @@ def m2l_translate_class_pallas(patch_c, W_c, cosr_c, g_c, interpret=False):
     r = P // OB
     NB = m2 * m2
     T = min(512, NB)
+    # grid=(NB // T, r) drops trailing rows if T doesn't divide NB; today
+    # m2 is a power of two so NB % T == 0 always holds -- fail loudly if a
+    # future tree shape breaks that instead of silently computing garbage
+    assert NB % T == 0, f"pallas M2L tile {T} must divide boxes {NB}"
 
     out = pl.pallas_call(
         _kernel,

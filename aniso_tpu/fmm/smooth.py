@@ -178,7 +178,8 @@ def build_m2l_patch_fine(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
     coeffs: jnp.ndarray, dtype=jnp.float32,
 ) -> dict:
-    """Factored E at a fine level: {'patch': (4, m2, m2, Q), 'W': (Q, P)}.
+    """Factored E at a fine level: {'patch': (4, m2, m2, Q), 'W': (4, Q, P)}
+    (per-parity-class factors; the apply side indexes W[c]).
 
     E is *exactly* a linear map of the local sigma_t coefficient patch
     (Q = (7B)^2 * nq values per box): E[c, x, y, :] = patch @ W.  Storing

@@ -146,16 +146,14 @@ def gmres(
             V = V.at[i + 1].set(w / jnp.where(wnorm == 0.0, 1.0, wnorm))
             col = h.at[i + 1].set(wnorm)
 
-            # apply previous rotations to the new column
+            # apply previous rotations to the new column -- O(i) work per
+            # step (a traced upper bound lowers to while_loop, fine here)
             def rot_body(k, colv):
                 t = cs[k] * colv[k] + sn[k] * colv[k + 1]
                 upd = -sn[k] * colv[k] + cs[k] * colv[k + 1]
-                inrange = k < i
-                colv = colv.at[k].set(jnp.where(inrange, t, colv[k]))
-                colv = colv.at[k + 1].set(jnp.where(inrange, upd, colv[k + 1]))
-                return colv
+                return colv.at[k].set(t).at[k + 1].set(upd)
 
-            col = lax.fori_loop(0, m, rot_body, col)
+            col = lax.fori_loop(0, i, rot_body, col)
 
             c_new, s_new = _givens(col[i], col[i + 1])
             cs = cs.at[i].set(c_new)

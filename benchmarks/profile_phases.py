@@ -130,7 +130,12 @@ def main():
     for sz in args.sizes:
         rec = run_one(sz, args.deg, args.reps, args.chain)
         print(json.dumps(rec), flush=True)
-        all_recs = [r for r in all_recs if r.get("sz") != sz] + [rec]
+        # dedup on every varied parameter, not just sz (ADVICE round 2)
+        key = (sz, args.deg, args.chain)
+        all_recs = [
+            r for r in all_recs
+            if (r.get("sz"), r.get("deg"), r.get("K")) != key
+        ] + [rec]
         with open(RESULTS, "w") as f:
             json.dump(all_recs, f, indent=1)
 
