@@ -286,22 +286,160 @@ def build_m2l_E_fine_np(
     return out * grid.dx
 
 
-def build_m2l_E_coarse_np(
+@functools.lru_cache(maxsize=None)
+def coarse_mirror_table(np_cheb: int) -> tuple:
+    """Per (class, offset): the line-integral symmetry E(a->b) = E(b->a).
+
+    Entry (c, o) with absolute offset d pairs with entry (c', o') where the
+    roles of target and source box swap: c' is the parity class of I + d,
+    o' indexes -d in c''s V list, and the paired box plane is shifted by
+    (sx, sy) = ((p + d - p') / 2) per axis (always in {-1, 0, 1}: every
+    V-list source is at most one box away on its parity plane, cf.
+    parity_shift_table_np).  The pairing is a fixed-point-free involution
+    (d = -d would need d = 0, never a V offset), so computing only the
+    lexicographically-canonical half of the blocks and transposing the
+    (a, b) point axes into the mirror halves the integral count.
+
+    Returns tuple of (c, o, canonical, c2, o2, sx, sy)."""
+    out = []
+    for px in (0, 1):
+        for py in (0, 1):
+            c = 2 * px + py
+            offs = vlist_offsets(px, py)
+            for o, (di, dj) in enumerate(offs):
+                qx, qy = (px + di) & 1, (py + dj) & 1
+                c2 = 2 * qx + qy
+                o2 = vlist_offsets(qx, qy).index((-di, -dj))
+                sx = (px + di - qx) // 2
+                sy = (py + dj - qy) // 2
+                canonical = (di, dj) > (-di, -dj)
+                out.append((c, o, canonical, c2, o2, sx, sy))
+    return tuple(out)
+
+
+def mirror_fill_coarse(E6: np.ndarray) -> None:
+    """Fill non-canonical (class, offset) blocks of E6 (4, m2, m2, 27, r, r)
+    in place from their canonical mirrors (transposed point axes, shifted
+    box plane).  Entries whose mirror source falls off the plane are
+    zeroed: they correspond to out-of-domain boxes whose multipoles are
+    zero-padded in the V-list gather (fmm.apply._vlist_gather), so their E
+    value is never observable."""
+    m2 = E6.shape[1]
+    r = E6.shape[-1]
+    for (c, o, canonical, c2, o2, sx, sy) in coarse_mirror_table(
+        int(np.sqrt(r))
+    ):
+        if not canonical:
+            continue
+        blk = E6[c, :, :, o]                      # (m2, m2, r, r)
+        dst = np.zeros_like(blk)
+        xd = slice(max(0, sx), m2 + min(0, sx))
+        yd = slice(max(0, sy), m2 + min(0, sy))
+        xs = slice(max(0, -sx), m2 + min(0, -sx))
+        ys = slice(max(0, -sy), m2 + min(0, -sy))
+        dst[xd, yd] = blk[xs, ys].transpose(0, 1, 3, 2)
+        E6[c2, :, :, o2] = dst
+
+
+# per-offset dgemm coarse levels: cap on one (class, offset) weight block
+# (r^2 pairs x bounding-box cells x nq, f64) -- beyond it (B >= 64) the
+# native per-pair engine takes over (few boxes there)
+_COARSE_DGEMM_MAX_W_BLOCK_BYTES = 400 * 1024 * 1024
+
+
+def _coarse_offset_weight(grid: Grid, np_cheb: int, B: int, di: int, dj: int):
+    """Static E weights for ONE V-list offset at box size B.
+
+    Pairs (a, b) = (target cheb, source cheb); the patch is the bounding
+    box of the two boxes ((|di|+1)B x (|dj|+1)B cells -- ~8x smaller than
+    the 27-offset union patch (7B)^2, which is what makes per-offset
+    weights affordable at B in {4..32} where the union table would be GBs).
+    Returns (W, ox0, oy0) with W: (r*r, bbx, bby, nq), origin relative to
+    the target box corner in cell units."""
+    r = np_cheb * np_cheb
+    cheb = (cheb_grid_2d(np_cheb) + 1.0) / 2.0 * B
+    ox0, oy0 = min(0, di * B), min(0, dj * B)
+    bbx, bby = (abs(di) + 1) * B, (abs(dj) + 1) * B
+    p1 = np.broadcast_to(cheb[:, None, :], (r, r, 2)).reshape(-1, 2)
+    src = cheb[None, :, :] + np.array([di * B, dj * B])
+    p0 = np.broadcast_to(src, (r, r, 2)).reshape(-1, 2)
+    W = segment_weights(
+        grid, p0, p1, patch_lo=np.array([ox0, oy0]), patch_shape=(bbx, bby)
+    )
+    return W, ox0, oy0
+
+
+def _coarse_dgemm_level_np(
+    grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
+    coeffs_np: np.ndarray,
+) -> np.ndarray:
+    """(4, m2, m2, 27, r, r) f64 E at a coarse level via per-offset static
+    weights x sliding coefficient windows (host BLAS dgemm).  Exact: the
+    same piecewise-Gauss quadrature as the per-pair engine, restructured
+    as 54 canonical (class, offset) matmuls + the mirror pass.  ~10x the
+    per-pair throughput on this host at B in {4, 8, 16} (measured: 280 s
+    -> ~30 s for all coarse levels at 512^2)."""
+    B = tcfg.box_size_squares(level)
+    r = np_cheb * np_cheb
+    m2 = tcfg.boxes(level) // 2
+    cf = np.asarray(coeffs_np, np.float64)
+    pad = np.pad(cf, ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)))
+    E6 = np.empty((4, m2, m2, 27, r, r), dtype=np.float64)
+    for (c, o, canonical, _, _, _, _) in coarse_mirror_table(np_cheb):
+        if not canonical:
+            continue
+        px, py = c >> 1, c & 1
+        di, dj = vlist_offsets(px, py)[o]
+        W, ox0, oy0 = _coarse_offset_weight(grid, np_cheb, B, di, dj)
+        bbx, bby = W.shape[1], W.shape[2]
+        x0 = px * B + ox0 + 3 * B
+        y0 = py * B + oy0 + 3 * B
+        sl = pad[x0 : x0 + 2 * B * (m2 - 1) + bbx,
+                 y0 : y0 + 2 * B * (m2 - 1) + bby]
+        win = np.lib.stride_tricks.sliding_window_view(
+            sl, (bbx, bby), axis=(0, 1)
+        )[:: 2 * B, :: 2 * B]
+        # win[x, y, q, a, b] = sl[2Bx + a, 2By + b, q]
+        E6[c, :, :, o] = np.einsum(
+            "pabq,xyqab->xyp", W, win, optimize=True
+        ).reshape(m2, m2, r, r)
+    mirror_fill_coarse(E6)
+    return E6 * grid.dx
+
+
+def build_m2l_E_coarse_oracle_np(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
     coeffs: jnp.ndarray, chunk: int = 4096, coeffs_np=None,
 ) -> np.ndarray:
     """f64 numpy (4, m2, m2, r*27*r) E at a coarse level (B >= 4) via exact
     per-pair line integrals on the host (native OpenMP engine; JAX
     fallback).  Same (a, o, b) pair-axis layout as build_m2l_E_fine.
-    Computed once per set_coeff and shared by the f32 device cache and the
-    f64 refinement twin (the integrals are f64 either way).
+
+    Demoted to an oracle / very-coarse-level path: production coarse
+    levels with B <= 32 use _coarse_dgemm_level_np (identical quadrature,
+    ~10x faster); `canonical_only` + the mirror pass halve this path's
+    integral count when it does run (build_m2l_E_coarse_np).
 
     coeffs_np: optional host copy of coeffs (avoids a device read-back)."""
+    return _coarse_perpair_level_np(
+        grid, tcfg, level, np_cheb, coeffs, chunk, coeffs_np,
+        canonical_only=False,
+    )
+
+
+def _coarse_perpair_level_np(
+    grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
+    coeffs, chunk: int, coeffs_np, canonical_only: bool,
+) -> np.ndarray:
     B = tcfg.box_size_squares(level)
     r = np_cheb * np_cheb
     dx = grid.dx
     cheb = (cheb_grid_2d(np_cheb) + 1.0) / 2.0 * B    # cell units in box
     m2 = tcfg.boxes(level) // 2
+    canon = {
+        (c, o): canonical
+        for (c, o, canonical, *_rest) in coarse_mirror_table(np_cheb)
+    }
 
     from .. import native
     use_native = native.available()
@@ -329,6 +467,8 @@ def build_m2l_E_coarse_np(
             bx = ((2 * I2 + px) * B)[:, None]
             by = ((2 * I2 + py) * B)[None, :]
             for oi, (di, dj) in enumerate(offs):
+                if canonical_only and not canon[(2 * px + py, oi)]:
+                    continue
                 src_rel = cheb[None, :, :] + np.array([di * B, dj * B])
                 tgt_rel = cheb[:, None, :]
                 tgt = np.empty((m2, m2, r, r, 2))
@@ -353,7 +493,39 @@ def build_m2l_E_coarse_np(
                                     jnp.asarray(seg_t, dtype=coeffs.dtype))
                         Es[st:en] = np.asarray(Ec, np.float64)[: en - st]
                 E_out[2 * px + py, :, :, oi] = Es.reshape(m2, m2, r, r)
+    if canonical_only:
+        mirror_fill_coarse(E_out)
     return E_out.transpose(0, 1, 2, 4, 3, 5).reshape(4, m2, m2, -1)
+
+
+def build_m2l_E_coarse_np(
+    grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
+    coeffs: jnp.ndarray, chunk: int = 4096, coeffs_np=None,
+) -> np.ndarray:
+    """f64 (4, m2, m2, r*27*r) E at a coarse level (B >= 4): the
+    production path.  B <= 32 runs the per-offset dgemm restructuring
+    (_coarse_dgemm_level_np); very coarse levels (B >= 64, a handful of
+    boxes) run the per-pair engine on the canonical half of the (class,
+    offset) blocks and mirror the rest.  Both are the exact piecewise
+    Gauss quadrature of the reference lineIntegral (KernelFactory.cpp:
+    67-190); build_m2l_E_coarse_oracle_np retains the brute-force
+    all-pairs path as the test oracle."""
+    B = tcfg.box_size_squares(level)
+    r = np_cheb * np_cheb
+    m2 = tcfg.boxes(level) // 2
+    w_block_bytes = r * r * (4 * B) * (4 * B) * grid.nq * 8
+    # dgemm pays a fixed per-offset weight-build cost; with few boxes the
+    # canonical per-pair engine is cheaper (and exactly as accurate)
+    if w_block_bytes <= _COARSE_DGEMM_MAX_W_BLOCK_BYTES and m2 >= 8:
+        if coeffs_np is None:
+            coeffs_np = np.asarray(coeffs, np.float64)
+        E6 = _coarse_dgemm_level_np(grid, tcfg, level, np_cheb, coeffs_np)
+        m2 = tcfg.boxes(level) // 2
+        return E6.transpose(0, 1, 2, 4, 3, 5).reshape(4, m2, m2, -1)
+    return _coarse_perpair_level_np(
+        grid, tcfg, level, np_cheb, coeffs, chunk, coeffs_np,
+        canonical_only=True,
+    )
 
 
 def build_m2l_E_coarse(

@@ -1,0 +1,66 @@
+"""Coarse-level M2L E assembly: dgemm restructuring + symmetry mirror.
+
+The production path (fmm.smooth.build_m2l_E_coarse_np) must reproduce the
+brute-force all-pairs oracle (build_m2l_E_coarse_oracle_np) exactly on
+every observable entry -- i.e. every (box, offset) pair whose source box
+lies inside the domain (out-of-domain sources are zero-padded in the
+V-list gather, so their E values are never observable).
+"""
+
+import numpy as np
+import pytest
+
+from aniso_tpu.core.geometry import make_grid, project_field
+from aniso_tpu.fmm import smooth
+from aniso_tpu.fmm.structure import tree_config, vlist_offsets
+
+
+def _observable_max_diff(E_a, E_b, m2, r):
+    """Max |E_a - E_b| over entries with in-domain source boxes."""
+    A = E_a.reshape(4, m2, m2, r, 27, r)
+    B6 = E_b.reshape(4, m2, m2, r, 27, r)
+    worst = 0.0
+    for px in (0, 1):
+        for py in (0, 1):
+            c = 2 * px + py
+            for o, (di, dj) in enumerate(vlist_offsets(px, py)):
+                # in-domain source boxes: 0 <= 2x+px+di < 2*m2
+                xs = [x for x in range(m2) if 0 <= 2 * x + px + di < 2 * m2]
+                ys = [y for y in range(m2) if 0 <= 2 * y + py + dj < 2 * m2]
+                if not xs or not ys:
+                    continue
+                sub = np.ix_([c], xs, ys)
+                d = np.abs(A[sub][..., :, o, :] - B6[sub][..., :, o, :])
+                worst = max(worst, float(d.max()))
+    return worst
+
+
+def test_mirror_table_is_involution():
+    tab = smooth.coarse_mirror_table(4)
+    by_key = {(c, o): (canonical, c2, o2, sx, sy)
+              for (c, o, canonical, c2, o2, sx, sy) in tab}
+    n_canon = 0
+    for (c, o), (canonical, c2, o2, sx, sy) in by_key.items():
+        mirror = by_key[(c2, o2)]
+        assert mirror[1:3] == (c, o), "mirror of mirror returns"
+        assert mirror[0] != canonical, "exactly one of each pair canonical"
+        assert (mirror[3], mirror[4]) == (-sx, -sy)
+        n_canon += canonical
+    assert n_canon == len(by_key) // 2
+
+
+@pytest.mark.parametrize("sz,level", [(32, 2), (64, 4)])
+def test_coarse_e_matches_oracle(sz, level, rng):
+    """32^2 lv2 (B=8, m2=2): canonical per-pair + mirror; 64^2 lv4
+    (B=4, m2=8): the per-offset dgemm path."""
+    g = make_grid(sz, 3)
+    tcfg = tree_config(sz)
+    sig = 2.0 + rng.uniform(0.0, 3.0, g.nodes_x.shape)
+    coeffs = project_field(g, np.asarray(sig, np.float64))
+    E_new = smooth.build_m2l_E_coarse_np(g, tcfg, level, 4, None,
+                                         coeffs_np=coeffs)
+    E_ref = smooth.build_m2l_E_coarse_oracle_np(g, tcfg, level, 4, None,
+                                                coeffs_np=coeffs)
+    m2 = tcfg.boxes(level) // 2
+    worst = _observable_max_diff(E_new, E_ref, m2, 16)
+    assert worst < 1e-11, worst
