@@ -40,6 +40,14 @@ class SolverConfig:
     # on hardware whose fast path is f32.  Requires dtype=float32 and
     # jax_enable_x64.
     refine: bool = False
+    # where the f64 twin operator for refinement residuals lives:
+    #   device -- f64 caches in accelerator HBM, residual matvecs run as
+    #             XLA f64 emulation (~20x a f32 matvec; a solve needs only
+    #             2-4 of them).  No host round-trips in the refine loop.
+    #   host   -- numpy/BLAS-built caches on the host CPU backend (the
+    #             round-2 design, kept as the oracle; minutes per residual
+    #             at 512^2 on small hosts).
+    refine_twin: str = "device"
     # reference-compat: evaluate per-square Legendre expansions at *global*
     # coordinates like the reference does (KernelFactory.cpp:174-207,
     # :828-860) instead of the mathematically consistent local coordinates.
@@ -72,6 +80,11 @@ class SolverConfig:
                 "refine=True is the mixed f32-inner/f64-outer mode; "
                 "set dtype='float32' (a full-f64 solve needs no refinement)"
             )
+        if self.refine_twin not in ("device", "host"):
+            raise ValueError(
+                f"refine_twin must be 'device' or 'host', got "
+                f"{self.refine_twin!r}"
+            )
         return self
 
     def to_dict(self) -> dict:
@@ -94,6 +107,7 @@ _KEYMAP = {
     "tol": ("tol", float),
     "dtype": ("dtype", str),
     "Refine": ("refine", lambda s: bool(int(s))),
+    "RefineTwin": ("refine_twin", str),
 }
 
 

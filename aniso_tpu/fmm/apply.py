@@ -199,13 +199,24 @@ def _vlist_gather(M_l: jnp.ndarray):
 # 3.6 GB f64 per class -- unchunked it would double peak HBM)
 _M2L_TRANSIENT_CAP_BYTES = 512 * 1024 * 1024
 
-# route factored-level translates through the fused Pallas kernel
-# (fmm.pallas_m2l): E forms and dies inside VMEM instead of streaming
-# ~GBs of transient through HBM.  Opt-in while the axon Pallas path is
-# being qualified; interpret mode keeps it testable on CPU.
+# route f32 translates through the fused Pallas kernels (fmm.pallas_m2l):
+# factored levels form and kill E inside VMEM instead of streaming ~GBs of
+# transient through HBM; dense levels read E once instead of writing +
+# re-reading an exp(-E)*cosr operator transient.  Default on TPU backends
+# (chip-qualified round 3), opt-out ANISO_PALLAS_M2L=0, opt-in on CPU
+# (interpret mode) with =1; XLA everywhere else incl. all f64 paths.
 import os as _os
 
-USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "0") == "1"
+USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "auto")
+
+
+def use_pallas_m2l() -> bool:
+    mode = USE_PALLAS_M2L
+    if mode in ("1", True):
+        return True
+    if mode == "auto":
+        return jax.default_backend() not in ("cpu",)
+    return False
 
 
 def _interleave_classes(outs, m2, r):
@@ -246,7 +257,7 @@ def _m2l_translate(E_l, cosr_l, gsel):
         patch, W = E_l["patch"], E_l["W"]
         m2, P = patch.shape[1], W.shape[-1]
         itemsize = patch.dtype.itemsize
-        if USE_PALLAS_M2L and patch.dtype == jnp.float32:
+        if use_pallas_m2l() and patch.dtype == jnp.float32:
             from .pallas_m2l import m2l_translate_class_pallas
 
             interpret = jax.default_backend() == "cpu"
@@ -261,6 +272,18 @@ def _m2l_translate(E_l, cosr_l, gsel):
     else:
         m2, P = E_l.shape[1], E_l.shape[-1]
         itemsize = E_l.dtype.itemsize
+        if use_pallas_m2l() and E_l.dtype == jnp.float32:
+            from .pallas_m2l import m2l_translate_class_dense_pallas
+
+            interpret = jax.default_backend() == "cpu"
+            r = P // gsel.shape[-1]
+            outs = [
+                m2l_translate_class_dense_pallas(
+                    E_l[c], cosr_l[c], gsel[c], interpret=interpret
+                )
+                for c in range(4)
+            ]
+            return _interleave_classes(outs, m2, r)
     ob = gsel.shape[-1]
     r = P // ob
     chunk = _row_chunk(m2, P, itemsize)

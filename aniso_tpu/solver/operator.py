@@ -156,14 +156,20 @@ class TransportSolver:
             self._mode_statics = _statics_for(self.dtype)
             if cfg.refine:
                 # f64 twin of the operator for outer residuals
-                # (solver.refine).  It lives on the HOST CPU backend: the
-                # outer residual runs only ~2-3 times per solve, host RAM
-                # dwarfs HBM (the twin would not fit next to the f32
-                # caches at 512^2), and the accelerator never has to
-                # compile any f64-emulated program (minutes each through
-                # the remote-compile tunnel).
+                # (solver.refine).  refine_twin='device' (default) keeps
+                # the f64 caches in accelerator HBM -- fine levels in the
+                # factored form (the byte cap factors f64 2x sooner), so
+                # the footprint next to the f32 fast path stays bounded --
+                # and runs the 2-4 residual matvecs per solve as XLA f64
+                # emulation (~20x one f32 matvec).  refine_twin='host' is
+                # the round-2 numpy/BLAS twin on the host CPU backend,
+                # kept as the oracle (SURVEY section 7 hard part (b)).
                 self._cpu = jax.devices("cpu")[0]
-                with jax.default_device(self._cpu):
+                self._twin_device = (
+                    self._cpu if cfg.refine_twin == "host"
+                    else jax.devices()[0]
+                )
+                with jax.default_device(self._twin_device):
                     self._fmm_static64 = build_fmm_static(
                         self.grid, cfg.np_cheb, dtype=jnp.float64
                     )
@@ -257,7 +263,7 @@ class TransportSolver:
         self.sigma_t = jnp.asarray(sig_t_np, dtype=self.dtype)
         if self.cfg.refine:
             self._sigma_s64 = jax.device_put(
-                np.asarray(sig_s_np, np.float64), self._cpu
+                np.asarray(sig_s_np, np.float64), self._twin_device
             )
         coeffs_np = project_field(g, sig_t_np)
         self.sigma_t_coeff = jnp.asarray(coeffs_np, dtype=self.dtype)
@@ -317,7 +323,14 @@ class TransportSolver:
         t0 = _time.time()
         caches = jax.block_until_ready(build(self.dtype))
         phases["device_build_s"] = _time.time() - t0
-        if self.cfg.refine:
+        if self.cfg.refine and self.cfg.refine_twin == "device":
+            # f64 twin on the accelerator: same builders at dtype=f64
+            # (XLA f64 emulation; the byte-based dense cap pushes fine
+            # levels to the factored form 2x sooner, bounding HBM)
+            t0 = _time.time()
+            self._caches64 = jax.block_until_ready(build(jnp.float64))
+            phases["twin_device_s"] = _time.time() - t0
+        elif self.cfg.refine:
             # f64 twin built (numpy/BLAS -- zero XLA compiles) and kept on
             # the host CPU backend (see __init__); the accelerator holds
             # only the f32 fast path
@@ -344,10 +357,13 @@ class TransportSolver:
             m2l_cache_bytes(caches["m2l_E"])
             + caches["near_E"].size * caches["near_E"].dtype.itemsize
         ) / 1e6
+        twin = (
+            f"; plus a {self.cfg.refine_twin}-resident f64 twin"
+            if self.cfg.refine else ""
+        )
         log.info(
             f"fmm E caches: {mb:.1f} MB (mode-independent; "
-            f"{self.n_modes} mode(s) share them"
-            f"{'; plus a host-resident f64 twin' if self.cfg.refine else ''})"
+            f"{self.n_modes} mode(s) share them{twin})"
         )
         self._caches = jax.block_until_ready(caches)
 

@@ -67,13 +67,15 @@ def refined_solve(
 
     N = cfg.kernel_size
     shape = (N,) + solver.grid.nodes_x.shape
-    # the f64 state (b, x, r) lives with the f64 twin operator on the host
-    # CPU backend; only the normalized f32 residual crosses to the
-    # accelerator per round, and the correction comes back
-    cpu = solver._cpu
+    # the f64 state (b, x, r) lives with the f64 twin operator: on the
+    # accelerator itself for refine_twin='device' (no host round-trips at
+    # all -- the normalized residual is a dtype cast in HBM), or on the
+    # host CPU backend for refine_twin='host' (only the normalized f32
+    # residual crosses per round, and the correction comes back)
+    twin_dev = solver._twin_device
     acc = jax.devices()[0]
     q = jax.device_put(
-        np.asarray(charge, np.float64).reshape(shape), cpu
+        np.asarray(charge, np.float64).reshape(shape), twin_dev
     )
     b = solver._rhs64(q)
     bnorm = float(jnp.linalg.norm(b))
@@ -81,10 +83,10 @@ def refined_solve(
         return RefinedResult(jnp.zeros(shape, jnp.float64), 0.0, 0, True, 0, ())
 
     x = (
-        jax.device_put(jnp.zeros(shape, jnp.float64), cpu)
+        jax.device_put(jnp.zeros(shape, jnp.float64), twin_dev)
         if x0 is None
         else jax.device_put(
-            np.asarray(x0, np.float64).reshape(shape), cpu
+            np.asarray(x0, np.float64).reshape(shape), twin_dev
         )
     )
     total_inner = 0
@@ -106,9 +108,9 @@ def refined_solve(
                 f"refine: stalled at {rel:.3e} (round {k}); stopping"
             )
             return RefinedResult(x, rel, total_inner, False, k, tuple(history))
-        r32 = jax.device_put(
-            np.asarray((r / rnorm).astype(jnp.float32)), acc
-        )
+        r32 = (r / rnorm).astype(jnp.float32)
+        if twin_dev is not acc:
+            r32 = jax.device_put(np.asarray(r32), acc)
         res = gmres(
             solver.forward,
             r32,
@@ -118,7 +120,9 @@ def refined_solve(
             precond=precond,
         )
         total_inner += int(res.iterations)
-        d = jax.device_put(np.asarray(res.x, np.float64), cpu)
+        d = res.x.astype(jnp.float64)
+        if twin_dev is not acc:
+            d = jax.device_put(np.asarray(d), twin_dev)
         x = x + rnorm * d
     r = b - solver._forward64(x)
     rel = float(jnp.linalg.norm(r)) / bnorm

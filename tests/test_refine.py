@@ -77,3 +77,40 @@ def test_cfg_loader_parses_refine(tmp_path):
 
     cfg = load_cfg(str(p))
     assert cfg.refine and cfg.dtype == "float32"
+
+
+def test_device_twin_matches_host_twin_oracle():
+    """refine_twin='device' (f64 caches via device builders) must agree
+    with the round-2 numpy/BLAS host twin to f64 roundoff: same residual
+    history, same solution, and the two f64 operators agree on a random
+    vector."""
+    results = {}
+    ops = {}
+    for twin in ("device", "host"):
+        cfg = SolverConfig(
+            domain_size=16, quad_rule=3, kernel_size=2, g=0.5, sing_rule=8,
+            np_cheb=4, dtype="float32", refine=True, refine_twin=twin,
+            tol=1e-11, restart=60, max_iter=300,
+        )
+        s = TransportSolver(cfg, backend="fmm")
+        grid = s.grid
+        sig_s = 8 * 0.5 * (1 - np.cos(2 * np.pi * grid.nodes_x))
+        s.set_coeff(sig_s, sig_s + 0.2)
+        q = np.exp(
+            -25 * ((grid.nodes_x - 0.5) ** 2 + (grid.nodes_y - 0.5) ** 2)
+        )
+        charge = np.stack([q, 0 * q])
+        results[twin] = s.solve(charge)
+        rng = np.random.default_rng(3)
+        v = jnp.asarray(
+            rng.standard_normal((2,) + grid.nodes_x.shape), jnp.float64
+        )
+        ops[twin] = np.asarray(s._forward64(v))
+    np.testing.assert_allclose(ops["device"], ops["host"],
+                               rtol=1e-12, atol=1e-13)
+    for twin, res in results.items():
+        assert res.converged and res.residual < 1e-11, (twin, res.residual)
+    dx = np.abs(
+        np.asarray(results["device"].x) - np.asarray(results["host"].x)
+    ).max()
+    assert dx < 1e-9, dx
