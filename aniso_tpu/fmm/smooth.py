@@ -544,8 +544,14 @@ def build_m2l_E_coarse(
 
 
 # dense-E levels above this footprint store the exact (patch, W) factors
-# instead and re-form E inside the chunked translate (build_m2l_patch_fine)
-_DENSE_E_LEVEL_CAP_BYTES = 768 * 1024 * 1024
+# instead and re-form E inside the chunked translate (build_m2l_patch_fine).
+# Dense streams (bandwidth-bound, fastest when HBM fits); factored trades
+# ~MXU recompute for a 16x footprint cut.  ANISO_DENSE_E_CAP_MB overrides.
+import os as _os
+
+_DENSE_E_LEVEL_CAP_BYTES = (
+    int(_os.environ.get("ANISO_DENSE_E_CAP_MB", 768)) * 1024 * 1024
+)
 
 
 def coarse_m2l_levels(tcfg: TreeConfig) -> list:

@@ -85,9 +85,10 @@ def main():
         float(chain(urep, k))
         return time.perf_counter() - t0
 
-    per = float(np.median(
-        [(timed(5 * K, r + 3) - timed(K, r)) / (4 * K) for r in range(3)]
-    ))
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    from timing import amortized_apply_time
+    per, timing_detail = amortized_apply_time(timed, K)
     gps = g.n_nodes / per
 
     # full device-resident GMRES solve (reference main.cpp:141 flow);
@@ -122,6 +123,12 @@ def main():
     detail = {
         "setup_set_coeff_s": round(setup_s, 2),
         "matvec_ms": round(per * 1e3, 3),
+        "m2l_translate_path": "pallas" if A.use_pallas_m2l() else "xla",
+        "level_repr": {
+            int(lv): ("factored" if isinstance(v, dict) else "dense")
+            for lv, v in caches["m2l_E"].items()
+        },
+        "timing": timing_detail,
         "nodes": g.n_nodes,
         "solve_wall_s_cold": round(solve_s, 2),
         "solve_wall_s_warm": round(solve_warm_s, 2),

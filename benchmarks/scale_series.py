@@ -84,8 +84,8 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
         float(chain(caches, ms0, static, urep, k))
         return time.perf_counter() - t0
 
-    diffs = [(timed(5 * K, r + 3) - timed(K, r)) / (4 * K) for r in range(3)]
-    matvec_s = float(np.median(diffs))
+    from timing import amortized_apply_time
+    matvec_s, timing_detail = amortized_apply_time(timed, K)
 
     t0 = time.time()
     res = solver.solve(charge)
@@ -115,6 +115,15 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
         "history": [float(h) for h in getattr(res, "history", [])],
         "e_cache_mb_f32": round(cache_mb, 1),
         "set_coeff_phases": getattr(solver, "set_coeff_phases", None),
+        "level_repr": {
+            int(lv): ("factored" if isinstance(v, dict) else "dense")
+            for lv, v in caches["m2l_E"].items()
+        },
+        "m2l_translate_path": (
+            "pallas" if A.use_pallas_m2l() else "xla"
+        ),
+        "refine_twin": cfg.refine_twin if refine else None,
+        "timing": timing_detail,
     }
     return rec
 

@@ -118,8 +118,22 @@ def main(argv=None) -> int:
             "set_coeff_phases": getattr(solver, "set_coeff_phases", None),
             "mode0_min": float(x0.min()), "mode0_max": float(x0.max()),
         }
+        # append-or-replace into a list so the plain and --dsa flagship
+        # runs accumulate in one artifact
+        recs = []
+        if os.path.exists(args.json_out):
+            try:
+                with open(args.json_out) as f:
+                    prior = json.load(f)
+                recs = prior if isinstance(prior, list) else [prior]
+            except (OSError, ValueError):
+                recs = []
+        key = ("size", "deg", "modes", "dsa", "refine")
+        recs = [r for r in recs
+                if tuple(r.get(k) for k in key) != tuple(rec[k] for k in key)]
+        recs.append(rec)
         with open(args.json_out, "w") as f:
-            json.dump(rec, f, indent=1)
+            json.dump(recs, f, indent=1)
     return 0 if ok else 1
 
 
