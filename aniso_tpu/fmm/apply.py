@@ -312,14 +312,28 @@ def _m2l_translate(E_l, cosr_l, gsel):
     return _interleave_classes(outs, m2, r)
 
 
-def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr):
+def _level_E(m2l_E, level, coeffs):
+    """Resolve a level's E representation; 'virtual' factored levels
+    ({'W'} only) get their coefficient patches re-formed from the field
+    (fmm.smooth.patch_for_level) -- pure data movement, traded for not
+    storing GB-scale patch tensors (the f64 twin's representation)."""
+    E_l = m2l_E[level]
+    if isinstance(E_l, dict) and "patch" not in E_l:
+        from .smooth import patch_for_level
+
+        return {"W": E_l["W"], "patch": patch_for_level(coeffs, level)}
+    return E_l
+
+
+def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None):
     """M2L + L2L sweep; one fused M2L and one L2L einsum per level."""
     m2m = static["m2m"]
     lo = coarsest_m2l_level()
     L = None
     for level in range(lo, leaf_level + 1):
         gsel = _vlist_gather(M[level])
-        T = _m2l_translate(m2l_E[level], m2l_cosr[level], gsel)
+        T = _m2l_translate(_level_E(m2l_E, level, coeffs),
+                           m2l_cosr[level], gsel)
         if L is None:
             L = T
         else:
@@ -351,8 +365,19 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
     KernelFactory.cpp:260).  near_E is stored (3, 3, nq_t, nq_s, sz, sz)
     (spatial minor-most; see fmm.smooth.build_near_E).
     """
+    if "near_E" in caches:
+        near_E = caches["near_E"]
+    else:
+        # virtual representation: re-form E from the coefficient field
+        # (1/sz = dx on the unit square); trades one einsum per apply for
+        # not storing the (3,3,nq,nq,sz,sz) tensor (1.5 GB f64 at 512^2)
+        from .smooth import _near_E_einsum
+
+        near_E = _near_E_einsum(
+            caches["near_W"], caches["coeffs"]
+        ) * (1.0 / u.shape[0])
     block = (
-        jnp.expm1(-caches["near_E"]) * mode_static["near_cosrw"][..., None, None]
+        jnp.expm1(-near_E) * mode_static["near_cosrw"][..., None, None]
         + mode_static["near_static"][..., None, None]
     )
     out = jnp.einsum(
@@ -379,7 +404,8 @@ def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u):
     """
     M = _up_pass(static, leaf_level, u)
     L = _down_pass(
-        static, leaf_level, M, caches["m2l_E"], mode_static["m2l_cosr"]
+        static, leaf_level, M, caches["m2l_E"], mode_static["m2l_cosr"],
+        coeffs=caches.get("coeffs"),
     )
     far = jnp.einsum("kc,ijc->ijk", static["l2t"], L, precision=HIGHEST)
     near = _near_apply(caches, mode_static, mode, u)
@@ -401,10 +427,9 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u):
     L = None
     for level in range(lo, leaf_level + 1):
         gsel = _vlist_gather(M[level])
+        E_l = _level_E(caches["m2l_E"], level, caches.get("coeffs"))
         T = jnp.stack([
-            _m2l_translate(
-                caches["m2l_E"][level], ms["m2l_cosr"][level], gsel
-            )
+            _m2l_translate(E_l, ms["m2l_cosr"][level], gsel)
             for ms in mode_statics
         ])
         if L is None:

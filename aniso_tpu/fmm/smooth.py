@@ -176,7 +176,7 @@ def _fine_E_class(W: jnp.ndarray, padded: jnp.ndarray, B: int) -> jnp.ndarray:
 
 def build_m2l_patch_fine(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
-    coeffs: jnp.ndarray, dtype=jnp.float32,
+    coeffs: jnp.ndarray, dtype=jnp.float32, store_patch: bool = True,
 ) -> dict:
     """Factored E at a fine level: {'patch': (4, m2, m2, Q), 'W': (4, Q, P)}
     (per-parity-class factors; the apply side indexes W[c]).
@@ -192,14 +192,27 @@ def build_m2l_patch_fine(
     pair layout and dx scaling as build_m2l_E_fine (folded into W).
     """
     B = tcfg.box_size_squares(level)
-    m2 = tcfg.boxes(level) // 2
     PX = 7 * B
     nq = grid.nq
     W = fine_m2l_weights_np(grid.deg, np_cheb, B)      # (4, P, PX, PX, nq)
     # conv_general_dilated_patches emits channels (q, a, b)-major; fold dx
     Wr = W.transpose(0, 4, 2, 3, 1).reshape(4, nq * PX * PX, -1) * grid.dx
-    c = coeffs.astype(dtype)
-    pad = jnp.pad(c, ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)))
+    out = {"W": jnp.asarray(Wr, dtype=dtype)}          # (4, Q, P)
+    if store_patch:
+        out["patch"] = patch_for_level(coeffs.astype(dtype), level)
+    return out
+
+
+def patch_for_level(coeffs, level: int) -> jnp.ndarray:
+    """(4, m2, m2, Q) per-box coefficient patches at a fine level, straight
+    from the (sz, sz, nq) coefficient field.  Pure data movement -- the
+    'virtual' cache representation recomputes this inside the matvec
+    instead of storing it (926 MB f64 per level at 512^2)."""
+    sz = coeffs.shape[0]
+    B = sz >> level
+    m2 = (1 << level) // 2
+    PX = 7 * B
+    pad = jnp.pad(coeffs, ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)))
     ext = 2 * m2 * B + 5 * B
     patches = []
     for px in (0, 1):
@@ -211,10 +224,7 @@ def build_m2l_patch_fine(
                 precision=HIGHEST,
             )[0]                                        # (nq*PX*PX, m2, m2)
             patches.append(p.transpose(1, 2, 0))
-    return {
-        "patch": jnp.stack(patches),                   # (4, m2, m2, Q)
-        "W": jnp.asarray(Wr, dtype=dtype),             # (4, Q, P)
-    }
+    return jnp.stack(patches)
 
 
 def build_m2l_E_fine(
@@ -576,7 +586,7 @@ def build_m2l_E_coarse_all_np(
 def build_m2l_E(
     grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs: jnp.ndarray,
     dtype=jnp.float32, coeffs_np=None, dense_cap_bytes=None,
-    coarse_np=None,
+    coarse_np=None, store_patch: bool = True,
 ) -> dict:
     """Full per-level M2L E cache: dict level -> (4, m2, m2, r*27*r) dense,
     or the factored {'patch', 'W'} form when dense would exceed
@@ -608,7 +618,8 @@ def build_m2l_E(
                     f"{dense_bytes / 1e9:.2f} GB)"
                 )
                 cache[level] = build_m2l_patch_fine(
-                    grid, tcfg, level, np_cheb, coeffs, dtype
+                    grid, tcfg, level, np_cheb, coeffs, dtype,
+                    store_patch=store_patch,
                 )
             else:
                 cache[level] = build_m2l_E_fine(

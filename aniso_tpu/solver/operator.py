@@ -309,16 +309,37 @@ class TransportSolver:
             )
             phases["coarse_host_s"] = _time.time() - t0
 
-        def build(dtype):
+        def build(dtype, tag="", virtual=False):
+            """virtual=True stores only the coefficient field + static
+            weights for the near field and factored-level patches; the
+            apply re-forms them in-matvec (fmm.apply._level_E /
+            _near_apply).  Used for the f64 device twin, whose stored
+            form would not fit HBM next to the f32 fast path at 512^2."""
             coeffs_dev = jnp.asarray(coeffs_np, dtype=dtype)
-            return {
-                "near_E": build_near_E(g, coeffs_dev, dtype=dtype),
-                "m2l_E": build_m2l_E(
-                    g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
-                    dtype=dtype, coeffs_np=coeffs_np, coarse_np=coarse_np,
-                ),
+            out = {
                 "sigma_w": jnp.asarray(sigma_nodes * w_glob, dtype=dtype),
             }
+            t0 = _time.time()
+            if virtual:
+                from ..fmm.smooth import near_weights_np
+
+                out["near_W"] = jnp.asarray(
+                    near_weights_np(g.deg), dtype=dtype
+                )
+                out["coeffs"] = coeffs_dev
+            else:
+                out["near_E"] = jax.block_until_ready(
+                    build_near_E(g, coeffs_dev, dtype=dtype)
+                )
+            phases[f"near_E{tag}_s"] = _time.time() - t0
+            t0 = _time.time()
+            out["m2l_E"] = jax.block_until_ready(build_m2l_E(
+                g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
+                dtype=dtype, coeffs_np=coeffs_np, coarse_np=coarse_np,
+                store_patch=not virtual,
+            ))
+            phases[f"m2l{tag}_s"] = _time.time() - t0
+            return out
 
         t0 = _time.time()
         caches = jax.block_until_ready(build(self.dtype))
@@ -328,7 +349,9 @@ class TransportSolver:
             # (XLA f64 emulation; the byte-based dense cap pushes fine
             # levels to the factored form 2x sooner, bounding HBM)
             t0 = _time.time()
-            self._caches64 = jax.block_until_ready(build(jnp.float64))
+            self._caches64 = jax.block_until_ready(
+                build(jnp.float64, "64", virtual=True)
+            )
             phases["twin_device_s"] = _time.time() - t0
         elif self.cfg.refine:
             # f64 twin built (numpy/BLAS -- zero XLA compiles) and kept on
@@ -385,10 +408,11 @@ class TransportSolver:
             rep["near_E"] = nbytes(self._caches["near_E"])
             rep["sigma_w"] = nbytes(self._caches["sigma_w"])
             if getattr(self, "_caches64", None) is not None:
-                rep["f64_twin"] = (
-                    m2l_cache_bytes(self._caches64["m2l_E"])
-                    + nbytes(self._caches64["near_E"])
-                    + nbytes(self._caches64["sigma_w"])
+                rep["f64_twin"] = m2l_cache_bytes(
+                    self._caches64["m2l_E"]
+                ) + sum(
+                    nbytes(v) for k, v in self._caches64.items()
+                    if k != "m2l_E"
                 )
             rep["mode_statics"] = sum(
                 nbytes(v) for ms in self._mode_statics for v in

@@ -92,6 +92,12 @@ def main():
         json.dump({
             "sz": args.sz, "deg": args.deg, "np_cheb": args.np_cheb,
             "platform": "virtual-cpu-mesh",
+            "note": "N virtual devices time-slice this host's 2 real "
+                    "cores: the wall-time/efficiency columns measure "
+                    "OVERSUBSCRIPTION, not the design, and must not be "
+                    "read as scaling results.  Only the collective "
+                    "counts/bytes columns are meaningful here; real "
+                    "scaling needs pod hardware (BASELINE config 5).",
             "field_bytes": g.n_nodes * 4,
             "rows": rows,
         }, f, indent=1)

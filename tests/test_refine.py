@@ -79,11 +79,17 @@ def test_cfg_loader_parses_refine(tmp_path):
     assert cfg.refine and cfg.dtype == "float32"
 
 
-def test_device_twin_matches_host_twin_oracle():
-    """refine_twin='device' (f64 caches via device builders) must agree
-    with the round-2 numpy/BLAS host twin to f64 roundoff: same residual
-    history, same solution, and the two f64 operators agree on a random
-    vector."""
+def test_device_twin_matches_host_twin_oracle(monkeypatch):
+    """refine_twin='device' (f64 caches via device builders, 'virtual'
+    representation: near-field E and factored-level patches re-formed
+    from the coefficient field inside the matvec) must agree with the
+    round-2 numpy/BLAS host twin to f64 roundoff: same residual history,
+    same solution, and the two f64 operators agree on a random vector.
+    The cap override forces factored fine levels so the virtual patch
+    path is exercised."""
+    import aniso_tpu.fmm.smooth as S
+
+    monkeypatch.setattr(S, "_DENSE_E_LEVEL_CAP_BYTES", 0)
     results = {}
     ops = {}
     for twin in ("device", "host"):
