@@ -118,16 +118,18 @@ def main():
     # a few sharded GMRES iterations on the full forward operator
     from aniso_tpu.solver.gmres import gmres
 
+    # caches ride as jit ARGUMENTS (closure capture would bake GBs of
+    # constants into the program)
     @jax.jit
-    def solve_step(u0):
+    def solve_step(cch, ms0, sig, u0):
         def matvec(v):
-            return v - apply_fn(caches, mode_statics[0], 0, sigma_sh * v)
-        b = apply_fn(caches, mode_statics[0], 0, u0)
+            return v - apply_fn(cch, ms0, 0, sig * v)
+        b = apply_fn(cch, ms0, 0, u0)
         return gmres(matvec, b, restart=args.iters, max_iter=args.iters,
                      tol=1e-12)
 
     t0 = time.time()
-    res = solve_step(u_sh)
+    res = solve_step(caches, mode_statics[0], sigma_sh, u_sh)
     jax.block_until_ready(res.x)
     t_gmres = time.time() - t0
     print(f"{int(res.iterations)} sharded GMRES iterations in {t_gmres:.0f} s"
