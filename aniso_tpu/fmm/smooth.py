@@ -66,6 +66,28 @@ def near_weights_np(deg: int) -> np.ndarray:
     return near_pair_weights(make_grid(4, deg))
 
 
+_W_DEVICE_CACHE: dict = {}
+
+
+def _fine_W_device(grid: Grid, np_cheb: int, B: int, dtype) -> jnp.ndarray:
+    """Device-resident (4, Q, P) factored-level weight operator, cached
+    across set_coeff calls (it is sigma-independent; re-uploading ~0.5 GB
+    per call through the remote-TPU tunnel was pure waste).  The same
+    buffer is shared by the caches that reference it."""
+    # grid.sz is part of the key: dx = 1/sz is folded into the operator
+    key = (grid.sz, grid.deg, np_cheb, B, jnp.dtype(dtype).str,
+           jax.default_backend())
+    if key not in _W_DEVICE_CACHE:
+        W = fine_m2l_weights_np(grid.deg, np_cheb, B)
+        PX = 7 * B
+        Wr = (
+            W.transpose(0, 4, 2, 3, 1).reshape(4, grid.nq * PX * PX, -1)
+            * grid.dx
+        )
+        _W_DEVICE_CACHE[key] = jnp.asarray(Wr, dtype=dtype)
+    return _W_DEVICE_CACHE[key]
+
+
 @functools.lru_cache(maxsize=None)
 def fine_m2l_weights_np(deg: int, np_cheb: int, B: int) -> np.ndarray:
     """(4, r*27*r, 7B, 7B, nq) static E weights for fine-level M2L pairs.
@@ -156,24 +178,6 @@ def build_near_E(grid: Grid, coeffs: jnp.ndarray, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("B",))
-def _fine_E_class(W: jnp.ndarray, padded: jnp.ndarray, B: int) -> jnp.ndarray:
-    """One parity class at one fine level.
-
-    W: (27*r*r, 7B, 7B, nq); padded: class-sliced coefficient field
-    (2*m2*B + 5B, same, nq).  Returns (m2, m2, 27*r*r) E in units of dx.
-    """
-    PX = 7 * B
-    nq = padded.shape[-1]
-    patch = jax.lax.conv_general_dilated_patches(
-        padded.transpose(2, 0, 1)[None], filter_shape=(PX, PX),
-        window_strides=(2 * B, 2 * B), padding="VALID", precision=HIGHEST,
-    )  # (1, nq*PX*PX, m2, m2)
-    m2 = patch.shape[-1]
-    patch = patch[0].reshape(nq, PX, PX, m2, m2)
-    return jnp.einsum("pabq,qabxy->xyp", W, patch, precision=HIGHEST)
-
-
 def build_m2l_patch_fine(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
     coeffs: jnp.ndarray, dtype=jnp.float32, store_patch: bool = True,
@@ -192,12 +196,7 @@ def build_m2l_patch_fine(
     pair layout and dx scaling as build_m2l_E_fine (folded into W).
     """
     B = tcfg.box_size_squares(level)
-    PX = 7 * B
-    nq = grid.nq
-    W = fine_m2l_weights_np(grid.deg, np_cheb, B)      # (4, P, PX, PX, nq)
-    # conv_general_dilated_patches emits channels (q, a, b)-major; fold dx
-    Wr = W.transpose(0, 4, 2, 3, 1).reshape(4, nq * PX * PX, -1) * grid.dx
-    out = {"W": jnp.asarray(Wr, dtype=dtype)}          # (4, Q, P)
+    out = {"W": _fine_W_device(grid, np_cheb, B, dtype)}   # (4, Q, P)
     if store_patch:
         out["patch"] = patch_for_level(coeffs.astype(dtype), level)
     return out
@@ -233,25 +232,20 @@ def build_m2l_E_fine(
 ) -> jnp.ndarray:
     """(4, m2, m2, r*27*r) E at a fine level (B in {1, 2}), physical units.
 
+    One batched patch @ W contraction per level, sharing the device-
+    cached factored-layout weight operator (the dense and factored
+    representations are the same linear map -- dense just materializes
+    it at set_coeff time instead of per matvec).
+
     The pair axis is flattened in (a, o, b) order and kept minor-most:
     r*27*r = 6912 for np_cheb=4 is an exact multiple of the TPU 128-lane
     tile, so the dominant cache stores with ZERO padding at any grid size
     (a trailing (27, r, r) would pad 8x and OOM at 128^2+).
     """
     B = tcfg.box_size_squares(level)
-    r = np_cheb * np_cheb
-    m2 = tcfg.boxes(level) // 2
-    W = jnp.asarray(fine_m2l_weights_np(grid.deg, np_cheb, B), dtype=dtype)
-    c = coeffs.astype(dtype)
-    pad = jnp.pad(c, ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)))
-    ext = 2 * m2 * B + 5 * B
-    out = []
-    for px in (0, 1):
-        for py in (0, 1):
-            sl = pad[px * B : px * B + ext, py * B : py * B + ext]
-            out.append(_fine_E_class(W[2 * px + py], sl, B))
-    E = jnp.stack(out)   # (4, m2, m2, r*27*r), pair order (a, o, b)
-    return E * grid.dx
+    W = _fine_W_device(grid, np_cheb, B, dtype)        # (4, Q, P), dx folded
+    patch = patch_for_level(coeffs.astype(dtype), level)
+    return jnp.einsum("cxyq,cqp->cxyp", patch, W, precision=HIGHEST)
 
 
 def build_near_E_np(grid: Grid, coeffs_np: np.ndarray) -> np.ndarray:
