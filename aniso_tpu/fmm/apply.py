@@ -199,15 +199,18 @@ def _vlist_gather(M_l: jnp.ndarray):
 # 3.6 GB f64 per class -- unchunked it would double peak HBM)
 _M2L_TRANSIENT_CAP_BYTES = 512 * 1024 * 1024
 
-# route f32 translates through the fused Pallas kernels (fmm.pallas_m2l):
-# factored levels form and kill E inside VMEM instead of streaming ~GBs of
-# transient through HBM; dense levels read E once instead of writing +
-# re-reading an exp(-E)*cosr operator transient.  Default on TPU backends
-# (chip-qualified round 3), opt-out ANISO_PALLAS_M2L=0, opt-in on CPU
-# (interpret mode) with =1; XLA everywhere else incl. all f64 paths.
+# Optional Pallas translate kernels (fmm.pallas_m2l): factored levels
+# form and kill E inside VMEM; dense levels read each E tile exactly
+# once.  Round-3 chip qualification (TPU v5e, 64^2/256^2): both kernels
+# are CORRECT on hardware (<=7e-8 vs XLA) but slower than the XLA paths
+# (256^2 all-dense: 7.6 ms XLA vs ~31 ms Pallas; factored: ~parity) --
+# XLA's transient traffic is cheaper than this kernel's per-step
+# overheads at these sizes, so the production default is the XLA path
+# with dense storage governed by the HBM budget (fmm.smooth).  Opt in
+# with ANISO_PALLAS_M2L=1 (interpret mode on CPU); f64 always XLA.
 import os as _os
 
-USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "auto")
+USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "0")
 
 
 def use_pallas_m2l() -> bool:

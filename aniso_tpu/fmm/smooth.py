@@ -547,14 +547,21 @@ def build_m2l_E_coarse(
     return jnp.asarray(precomputed_np, dtype=dtype)
 
 
-# dense-E levels above this footprint store the exact (patch, W) factors
-# instead and re-form E inside the chunked translate (build_m2l_patch_fine).
-# Dense streams (bandwidth-bound, fastest when HBM fits); factored trades
-# ~MXU recompute for a 16x footprint cut.  ANISO_DENSE_E_CAP_MB overrides.
+# Dense vs factored fine levels.  Dense streams E from HBM (bandwidth-
+# bound: measured 7.6 ms / 77 M pts/s at 256^2 all-dense on the v5e chip
+# vs 26.5 ms with a factored leaf -- round-3 chip experiments); factored
+# trades ~MXU recompute per matvec for a 16x footprint cut.  Policy:
+# a level stores dense iff it fits BOTH the per-level cap (test override
+# knob, ANISO_DENSE_E_CAP_MB) and the cumulative TOTAL budget
+# (ANISO_E_BUDGET_MB), allocated coarsest-first so the cheap-to-recompute
+# big leaf is the first to fall back to factored.
 import os as _os
 
 _DENSE_E_LEVEL_CAP_BYTES = (
-    int(_os.environ.get("ANISO_DENSE_E_CAP_MB", 768)) * 1024 * 1024
+    int(_os.environ.get("ANISO_DENSE_E_CAP_MB", 16 * 1024)) * 1024 * 1024
+)
+_DENSE_E_TOTAL_BUDGET_BYTES = (
+    int(_os.environ.get("ANISO_E_BUDGET_MB", 9 * 1024)) * 1024 * 1024
 )
 
 
@@ -563,6 +570,15 @@ def coarse_m2l_levels(tcfg: TreeConfig) -> list:
         lv for lv in range(coarsest_m2l_level(), tcfg.leaf_level + 1)
         if tcfg.box_size_squares(lv) > 2
     ]
+
+
+def coarse_dense_bytes(tcfg: TreeConfig, np_cheb: int, itemsize: int) -> int:
+    """Footprint of the (always dense) coarse-level E tensors."""
+    r = np_cheb * np_cheb
+    return sum(
+        4 * (tcfg.boxes(lv) // 2) ** 2 * (r * 27 * r) * itemsize
+        for lv in coarse_m2l_levels(tcfg)
+    )
 
 
 def build_m2l_E_coarse_all_np(
@@ -580,11 +596,13 @@ def build_m2l_E_coarse_all_np(
 def build_m2l_E(
     grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs: jnp.ndarray,
     dtype=jnp.float32, coeffs_np=None, dense_cap_bytes=None,
-    coarse_np=None, store_patch: bool = True,
+    coarse_np=None, store_patch: bool = True, budget_bytes=None,
 ) -> dict:
     """Full per-level M2L E cache: dict level -> (4, m2, m2, r*27*r) dense,
-    or the factored {'patch', 'W'} form when dense would exceed
-    dense_cap_bytes (512^2 leaf dense E alone is 7.2 GB f32).
+    or the factored {'patch', 'W'} form when dense would blow the
+    per-level cap or the cumulative total budget (512^2 leaf dense E
+    alone is 7.2 GB f32; allocation is coarsest-first so the leaf falls
+    back first).
 
     Mode-independent; serves every Fourier kernel (cf. the reference's
     per-mode cache passes, AnisoWrapper.cpp:72-90).
@@ -601,25 +619,33 @@ def build_m2l_E(
         )
     if dense_cap_bytes is None:
         dense_cap_bytes = _DENSE_E_LEVEL_CAP_BYTES
+    if budget_bytes is None:
+        budget_bytes = _DENSE_E_TOTAL_BUDGET_BYTES
     itemsize = jnp.dtype(dtype).itemsize
+    spent = 0
     for level in range(coarsest_m2l_level(), tcfg.leaf_level + 1):
+        m2 = tcfg.boxes(level) // 2
+        dense_bytes = 4 * m2 * m2 * (r * 27 * r) * itemsize
         if tcfg.box_size_squares(level) <= 2:
-            m2 = tcfg.boxes(level) // 2
-            dense_bytes = 4 * m2 * m2 * (r * 27 * r) * itemsize
-            if dense_bytes > dense_cap_bytes:
+            if dense_bytes > dense_cap_bytes or \
+               spent + dense_bytes > budget_bytes:
                 log.info(
-                    f"m2l E level {level}: factored (dense would be "
-                    f"{dense_bytes / 1e9:.2f} GB)"
+                    f"m2l E level {level}: factored (dense "
+                    f"{dense_bytes / 1e9:.2f} GB vs cap "
+                    f"{dense_cap_bytes / 1e9:.2f} / remaining budget "
+                    f"{max(0, budget_bytes - spent) / 1e9:.2f} GB)"
                 )
                 cache[level] = build_m2l_patch_fine(
                     grid, tcfg, level, np_cheb, coeffs, dtype,
                     store_patch=store_patch,
                 )
             else:
+                spent += dense_bytes
                 cache[level] = build_m2l_E_fine(
                     grid, tcfg, level, np_cheb, coeffs, dtype
                 )
         else:
+            spent += dense_bytes   # coarse levels are always dense
             cache[level] = build_m2l_E_coarse(
                 grid, tcfg, level, np_cheb, coeffs, dtype,
                 coeffs_np=coeffs_np,

@@ -309,7 +309,7 @@ class TransportSolver:
             )
             phases["coarse_host_s"] = _time.time() - t0
 
-        def build(dtype, tag="", virtual=False):
+        def build(dtype, tag="", virtual=False, budget=None):
             """virtual=True stores only the coefficient field + static
             weights for the near field and factored-level patches; the
             apply re-forms them in-matvec (fmm.apply._level_E /
@@ -336,13 +336,34 @@ class TransportSolver:
             out["m2l_E"] = jax.block_until_ready(build_m2l_E(
                 g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
                 dtype=dtype, coeffs_np=coeffs_np, coarse_np=coarse_np,
-                store_patch=not virtual,
+                store_patch=not virtual, budget_bytes=budget,
             ))
             phases[f"m2l{tag}_s"] = _time.time() - t0
             return out
 
+        from ..fmm.smooth import (
+            coarse_dense_bytes, _DENSE_E_TOTAL_BUDGET_BYTES,
+        )
+
+        f32_budget = None
+        if self.cfg.refine and self.cfg.refine_twin == "device":
+            # leave HBM headroom for the resident f64 twin (its W64
+            # operators + dense coarse levels) and the residual-matvec
+            # transients; the dense allocation is coarsest-first, so the
+            # big leaf is what falls back to factored under the reduced
+            # budget
+            reserve = (
+                600 * 1024 * 1024                      # W64 (B=1, 2)
+                + coarse_dense_bytes(self._tcfg, self.cfg.np_cheb, 8)
+                + 2 * 1024 * 1024 * 1024               # twin transients
+            )
+            f32_budget = max(
+                2 * 1024 * 1024 * 1024,
+                _DENSE_E_TOTAL_BUDGET_BYTES - reserve,
+            )
+
         t0 = _time.time()
-        caches = jax.block_until_ready(build(self.dtype))
+        caches = jax.block_until_ready(build(self.dtype, budget=f32_budget))
         phases["device_build_s"] = _time.time() - t0
         if self.cfg.refine and self.cfg.refine_twin == "device":
             # f64 twin on the accelerator: same builders at dtype=f64
@@ -350,7 +371,8 @@ class TransportSolver:
             # levels to the factored form 2x sooner, bounding HBM)
             t0 = _time.time()
             self._caches64 = jax.block_until_ready(
-                build(jnp.float64, "64", virtual=True)
+                build(jnp.float64, "64", virtual=True,
+                      budget=2 * 1024 * 1024 * 1024)
             )
             phases["twin_device_s"] = _time.time() - t0
         elif self.cfg.refine:

@@ -103,3 +103,40 @@ def test_solution_matches_reference_cli():
     assert rel < 1e-2, rel
     # solutions are on the same physical scale
     assert np.isclose(x.max(), ref.max(), rtol=2e-2)
+
+
+ORACLE128 = os.path.join(
+    os.path.dirname(__file__), "..", "benchmarks", "oracle_128"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(ORACLE128, "result.csv")),
+    reason="128^2 oracle artifacts not present",
+)
+def test_fmm_solution_matches_reference_cli_128():
+    """FMM backend at BASELINE config-2 scale (128^2, deg 3, HG g=0.5,
+    singRule 8, np 4) vs the committed reference CLI output
+    benchmarks/oracle_128/result.csv (round-2 VERDICT item 7).
+
+    Same tolerance rationale as the 64^2 gate: both solvers run rank-16
+    black-box FMMs contributing ~1e-4 truncation each.
+    """
+    ref = np.loadtxt(os.path.join(ORACLE128, "result.csv"))
+    pts = np.loadtxt(os.path.join(ORACLE128, "points.csv"))
+
+    cfg = SolverConfig(domain_size=128, quad_rule=3, kernel_size=1, g=0.5,
+                       sing_rule=8, np_cheb=4, tol=1e-10, restart=80,
+                       max_iter=400, compat_global_basis=True,
+                       dtype="float64")
+    s = TransportSolver(cfg, backend="fmm")
+    g = s.grid
+    perm = _node_permutation(g, pts)
+    sig_s = 16 * 0.5 * (1 - np.cos(2 * np.pi * g.nodes_x))
+    s.set_coeff(sig_s, sig_s + 0.2)
+    q = np.exp(-25 * ((g.nodes_x - 0.5) ** 2 + (g.nodes_y - 0.5) ** 2))
+    res = s.solve(q)
+    assert bool(res.converged)
+    x = np.asarray(res.x).reshape(-1)
+    rel = np.abs(x - ref[perm]).max() / np.abs(ref).max()
+    assert rel < 1e-3, rel
