@@ -212,6 +212,10 @@ import os as _os
 
 USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "0")
 
+# dense-level translate: fused mul+reduce (single E read) vs dot_general
+# (materializes the exp(-E)*cosr operator transient).  See one_chunk.
+M2L_DENSE_FUSED = _os.environ.get("ANISO_M2L_DENSE_FUSED", "1") != "0"
+
 
 def use_pallas_m2l() -> bool:
     mode = USE_PALLAS_M2L
@@ -296,6 +300,12 @@ def _m2l_translate(E_l, cosr_l, gsel):
         if factored:
             Eb = jnp.einsum("xyq,qp->xyp", Eb, W[c], precision=HIGHEST)
         op = (jnp.exp(-Eb) * cosr_l[c]).reshape(rows, m2, r, ob)
+        if M2L_DENSE_FUSED and not factored:
+            # elementwise product + multi-axis reduce: XLA loop-fuses the
+            # exp/cosr producers into the reduction, so E streams from
+            # HBM exactly once (the dot_general form materializes `op`
+            # as a transient, tripling the level's traffic)
+            return jnp.sum(op * gb[:, :, None, :], axis=-1)
         return jnp.einsum("xyaq,xyq->xya", op, gb, precision=HIGHEST)
 
     src = patch if factored else E_l

@@ -560,8 +560,11 @@ import os as _os
 _DENSE_E_LEVEL_CAP_BYTES = (
     int(_os.environ.get("ANISO_DENSE_E_CAP_MB", 16 * 1024)) * 1024 * 1024
 )
+# default sized for the 16 GB v5e chip: 512^2 all-dense m2l E is 9.67 GB
+# (coarse 0.6 + B=2 1.8 + leaf 7.2), leaving ~4 GB for the near cache,
+# Krylov basis and transients
 _DENSE_E_TOTAL_BUDGET_BYTES = (
-    int(_os.environ.get("ANISO_E_BUDGET_MB", 9 * 1024)) * 1024 * 1024
+    int(_os.environ.get("ANISO_E_BUDGET_MB", 11 * 1024)) * 1024 * 1024
 )
 
 
