@@ -32,6 +32,9 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+os.makedirs("/tmp/aniso_tpu_jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/aniso_tpu_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -109,11 +112,33 @@ def main():
     print(f"sharded matvec: compile {t_compile:.0f} s, warm {t_warm:.2f} s, "
           f"rel-vs-single {rel:.2e}", flush=True)
 
-    # collective traffic of the compiled sharded matvec
-    lowered = jax.jit(
-        lambda c, m, v: apply_fn(c, m, 0, v)
-    ).lower(caches, mode_statics[0], u_sh)
+    # collective traffic of the compiled sharded matvec (the persistent
+    # compile cache makes this second compile of the same program cheap)
+    lowered = apply_fn.lower(caches, mode_statics[0], 0, u_sh)
     stats = compiled_collective_stats(lowered.compile())
+
+    rec = {
+        "config": "BASELINE config 5 (shape validation on a virtual mesh)",
+        "sz": args.sz, "deg": args.deg, "np_cheb": args.np_cheb,
+        "g": args.g, "nodes": grid.n_nodes,
+        "mesh": {ax: int(n) for ax, n in mesh.shape.items()},
+        "backend": "cpu-virtual (8 devices on 2 cores; wall times measure "
+                   "oversubscription, not the design)",
+        "level_repr": reprs,
+        "set_coeff_s": round(set_coeff_s, 1),
+        "e_cache_mb_total": round(
+            (m2l_cache_bytes(solver._caches["m2l_E"])
+             + solver._caches["near_E"].size
+             * solver._caches["near_E"].dtype.itemsize) / 1e6, 1),
+        "per_device_cache_mb": per_dev_mb,
+        "sharded_matvec_rel_vs_single_device": rel,
+        "sharded_matvec_compile_s": round(t_compile, 1),
+        "sharded_matvec_warm_s": round(t_warm, 2),
+        "collective_counts": dict(stats.counts),
+        "collective_bytes_per_shard": dict(stats.bytes),
+    }
+    with open(RESULTS, "w") as f:      # partial record survives a crash
+        json.dump(rec, f, indent=1)
 
     # a few sharded GMRES iterations on the full forward operator
     from aniso_tpu.solver.gmres import gmres
@@ -136,29 +161,11 @@ def main():
           f" (compile incl.), residual estimate {float(res.residual):.3e}",
           flush=True)
 
-    rec = {
-        "config": "BASELINE config 5 (shape validation on a virtual mesh)",
-        "sz": args.sz, "deg": args.deg, "np_cheb": args.np_cheb,
-        "g": args.g, "nodes": grid.n_nodes,
-        "mesh": {ax: int(n) for ax, n in mesh.shape.items()},
-        "backend": "cpu-virtual (8 devices on 2 cores; wall times measure "
-                   "oversubscription, not the design)",
-        "level_repr": reprs,
-        "set_coeff_s": round(set_coeff_s, 1),
-        "e_cache_mb_total": round(
-            (m2l_cache_bytes(solver._caches["m2l_E"])
-             + solver._caches["near_E"].size
-             * solver._caches["near_E"].dtype.itemsize) / 1e6, 1),
-        "per_device_cache_mb": per_dev_mb,
-        "sharded_matvec_rel_vs_single_device": rel,
-        "sharded_matvec_compile_s": round(t_compile, 1),
-        "sharded_matvec_warm_s": round(t_warm, 2),
-        "collective_counts": dict(stats.counts),
-        "collective_bytes_per_shard": dict(stats.bytes),
+    rec.update({
         "gmres_iterations": int(res.iterations),
         "gmres_residual_estimate": float(res.residual),
         "gmres_wall_s_incl_compile": round(t_gmres, 1),
-    }
+    })
     with open(RESULTS, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec, indent=1))
