@@ -70,20 +70,19 @@ _W_DEVICE_CACHE: dict = {}
 
 
 def _fine_W_device(grid: Grid, np_cheb: int, B: int, dtype) -> jnp.ndarray:
-    """Device-resident (4, Q, P) factored-level weight operator, cached
-    across set_coeff calls (it is sigma-independent; re-uploading ~0.5 GB
-    per call through the remote-TPU tunnel was pure waste).  The same
-    buffer is shared by the caches that reference it."""
-    # grid.sz is part of the key: dx = 1/sz is folded into the operator
-    key = (grid.sz, grid.deg, np_cheb, B, jnp.dtype(dtype).str,
+    """Device-resident (4, Q, P) factored-level weight operator in CELL
+    units, cached across set_coeff calls (it is sigma-independent;
+    re-uploading ~0.5 GB per call through the remote-TPU tunnel was pure
+    waste).  Cell units keep the cache grid-size independent -- keying on
+    sz would pin a fresh ~1.4 GB per size touched in one process (the
+    round-3 scale series OOM'd exactly this way).  Callers scale by
+    grid.dx."""
+    key = (grid.deg, np_cheb, B, jnp.dtype(dtype).str,
            jax.default_backend())
     if key not in _W_DEVICE_CACHE:
         W = fine_m2l_weights_np(grid.deg, np_cheb, B)
         PX = 7 * B
-        Wr = (
-            W.transpose(0, 4, 2, 3, 1).reshape(4, grid.nq * PX * PX, -1)
-            * grid.dx
-        )
+        Wr = W.transpose(0, 4, 2, 3, 1).reshape(4, grid.nq * PX * PX, -1)
         _W_DEVICE_CACHE[key] = jnp.asarray(Wr, dtype=dtype)
     return _W_DEVICE_CACHE[key]
 
@@ -196,7 +195,10 @@ def build_m2l_patch_fine(
     pair layout and dx scaling as build_m2l_E_fine (folded into W).
     """
     B = tcfg.box_size_squares(level)
-    out = {"W": _fine_W_device(grid, np_cheb, B, dtype)}   # (4, Q, P)
+    W = _fine_W_device(grid, np_cheb, B, dtype) * jnp.asarray(
+        grid.dx, dtype=dtype
+    )
+    out = {"W": W}                                         # (4, Q, P)
     if store_patch:
         out["patch"] = patch_for_level(coeffs.astype(dtype), level)
     return out
@@ -243,9 +245,10 @@ def build_m2l_E_fine(
     (a trailing (27, r, r) would pad 8x and OOM at 128^2+).
     """
     B = tcfg.box_size_squares(level)
-    W = _fine_W_device(grid, np_cheb, B, dtype)        # (4, Q, P), dx folded
+    W = _fine_W_device(grid, np_cheb, B, dtype)        # (4, Q, P), cell units
     patch = patch_for_level(coeffs.astype(dtype), level)
-    return jnp.einsum("cxyq,cqp->cxyp", patch, W, precision=HIGHEST)
+    E = jnp.einsum("cxyq,cqp->cxyp", patch, W, precision=HIGHEST)
+    return E * jnp.asarray(grid.dx, dtype=dtype)
 
 
 def build_near_E_np(grid: Grid, coeffs_np: np.ndarray) -> np.ndarray:

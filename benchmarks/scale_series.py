@@ -51,6 +51,13 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
     t0 = time.time()
     solver.set_coeff(sig_s, sig_s + 0.2)
     setup_s = time.time() - t0
+    cold_phases = getattr(solver, "set_coeff_phases", None)
+    # steady state: the first call pays one-time XLA compiles (remote
+    # tunnel) and static-table uploads; a second call with fresh sigma
+    # measures what repeated coefficient updates actually cost
+    t0 = time.time()
+    solver.set_coeff(sig_s * 1.01, sig_s * 1.01 + 0.2)
+    setup_warm_s = time.time() - t0
 
     q = np.exp(-25 * ((grid.nodes_x - 0.5) ** 2 + (grid.nodes_y - 0.5) ** 2))
     charge = np.stack([q] + [0 * q] * (n_modes - 1))
@@ -104,6 +111,8 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
         "sz": sz, "modes": n_modes, "g": g, "np_cheb": np_cheb,
         "nodes": grid.n_nodes, "refine": refine, "tol": tol,
         "init_s": round(init_s, 2), "set_coeff_s": round(setup_s, 2),
+        "set_coeff_warm_s": round(setup_warm_s, 2),
+        "set_coeff_phases_cold": cold_phases,
         "matvec_ms": round(matvec_s * 1e3, 3),
         "matvec_compile_s": round(matvec_compile_s, 1),
         "grid_points_per_s": round(grid.n_nodes / matvec_s, 0),
@@ -151,6 +160,11 @@ def main():
                 sz, args.modes, args.g, args.tol, not args.no_refine,
                 args.np_cheb, args.matvec_reps,
             )
+            # release the previous size's device buffers before the next
+            # (solver caches die with run_one's frame; force collection)
+            import gc
+
+            gc.collect()
         except Exception as e:  # record the failure, keep going
             rec = {
                 "sz": sz, "modes": args.modes, "g": args.g,
