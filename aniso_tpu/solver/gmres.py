@@ -119,14 +119,23 @@ def gmres(
         resid: jnp.ndarray
         done: jnp.ndarray
 
+    # Hessenberg/rotation bookkeeping in f64 (tiny (m+1) x m arrays; with
+    # x64 disabled this canonicalizes back to f32 and changes nothing).
+    # Over m = 80 Givens steps the f32 recurrence drifts the residual
+    # ESTIMATE by ~1e-5 relative; f64 keeps the estimate honest while the
+    # Krylov basis and matvecs stay in operand dtype on the MXU.
+    hdtype = jax.dtypes.canonicalize_dtype(jnp.float64)
+
     def inner_cycle(x, r, beta, j_start):
         """One restart cycle; returns updated x, r, beta, j, resid, done."""
         V = jnp.zeros((m + 1, n), dtype=dtype)
         V = V.at[0].set(r / beta)
-        H = jnp.zeros((m + 1, m), dtype=dtype)
-        s = jnp.zeros((m + 1,), dtype=dtype).at[0].set(beta)
-        cs = jnp.zeros((m,), dtype=dtype)
-        sn = jnp.zeros((m,), dtype=dtype)
+        H = jnp.zeros((m + 1, m), dtype=hdtype)
+        s = jnp.zeros((m + 1,), dtype=hdtype).at[0].set(
+            beta.astype(hdtype)
+        )
+        cs = jnp.zeros((m,), dtype=hdtype)
+        sn = jnp.zeros((m,), dtype=hdtype)
 
         def cond(st):
             i, j, _, _, _, _, _, done = st
@@ -144,7 +153,7 @@ def gmres(
             h = h1 + h2
             wnorm = jnp.linalg.norm(w)
             V = V.at[i + 1].set(w / jnp.where(wnorm == 0.0, 1.0, wnorm))
-            col = h.at[i + 1].set(wnorm)
+            col = h.astype(hdtype).at[i + 1].set(wnorm.astype(hdtype))
 
             # apply previous rotations to the new column -- O(i) work per
             # step (a traced upper bound lowers to while_loop, fine here)
@@ -187,7 +196,7 @@ def gmres(
         Hm = jnp.where(diag_mask[None, :] | (idx[:, None] == idx[None, :]), Hm, 0.0)
         rhs = jnp.where(diag_mask, s[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
-        x_new = x + _mv(V[:m].T, y)
+        x_new = x + _mv(V[:m].T, y.astype(dtype))
 
         r_new = b - A(x_new)
         beta_new = jnp.linalg.norm(r_new)
@@ -207,7 +216,7 @@ def gmres(
         r=r0,
         beta=beta0,
         j=jnp.array(1, jnp.int32),
-        resid=beta0 / normb,
+        resid=(beta0 / normb).astype(hdtype),
         done=beta0 / normb <= tol,
     )
     out = lax.while_loop(outer_cond, outer_body, init)
