@@ -64,3 +64,39 @@ def test_coarse_e_matches_oracle(sz, level, rng):
     m2 = tcfg.boxes(level) // 2
     worst = _observable_max_diff(E_new, E_ref, m2, 16)
     assert worst < 1e-11, worst
+
+
+def test_dense_budget_allocates_coarsest_first(monkeypatch, rng):
+    """The HBM budget admits dense levels coarsest-first; the leaf is the
+    first to fall back to the factored form, and a zero budget factors
+    every fine level."""
+    import jax.numpy as jnp
+    from aniso_tpu.fmm import smooth
+
+    g = make_grid(16, 2)
+    tcfg = tree_config(16)
+    sig = 2.0 + rng.uniform(0.0, 1.0, g.nodes_x.shape)
+    coeffs = project_field(g, np.asarray(sig, np.float64))
+    cdev = jnp.asarray(coeffs, jnp.float32)
+
+    def reprs(budget):
+        cache = smooth.build_m2l_E(g, tcfg, 3, cdev, dtype=jnp.float32,
+                                   coeffs_np=coeffs, budget_bytes=budget)
+        return {lv: ("factored" if isinstance(v, dict) else "dense")
+                for lv, v in cache.items()}
+
+    full = reprs(None)
+    assert set(full.values()) == {"dense"}
+
+    r = 9
+    lvl_bytes = {
+        lv: 4 * (tcfg.boxes(lv) // 2) ** 2 * (r * 27 * r) * 4
+        for lv in range(2, tcfg.leaf_level + 1)
+    }
+    coarse = sum(b for lv, b in lvl_bytes.items()
+                 if tcfg.box_size_squares(lv) > 2)
+    # enough for everything but the leaf
+    partial = reprs(coarse + lvl_bytes[3] + lvl_bytes[4] - 1)
+    assert partial[4] == "factored" and partial[3] == "dense", partial
+    starved = reprs(0)
+    assert starved[3] == "factored" and starved[4] == "factored", starved
