@@ -253,6 +253,18 @@ class TransportSolver:
         from ..core.geometry import project_field
         from ..ops.fields import evaluate_at_nodes_np
 
+        # release the previous coefficients' caches BEFORE rebuilding:
+        # holding both generations doubles the HBM footprint and OOM'd
+        # repeated set_coeff at 256^2 refine on the chip
+        if self._caches is not None or getattr(self, "_caches64", None):
+            self._caches = None
+            self._caches64 = None
+            self._k_real = None
+            self._k_smooth = None
+            import gc
+
+            gc.collect()
+
         shape = (g.sz, g.sz, g.nq)
         # the whole sigma pipeline (projection, compat transform, node
         # evaluation) runs on the host in f64: it is tiny, and keeping it
