@@ -33,13 +33,25 @@ RESULTS = os.path.join(
 )
 
 
-def timeit(fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _force(out):
+    """Force completion via a value transfer: a scalar of the output is
+    fetched, so execution cannot complete lazily (measured on the axon
+    tunnel: under concurrent chip use, block_until_ready alone returned
+    after dispatch and produced dispatch-only 'timings')."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf.ravel()[0])
+
+
+def timeit(fn, u, *args, reps=10, vary=None):
+    """vary: index of the arg (in u, *args) perturbed per rep to defeat
+    any caching of pure executions."""
+    _force(fn(u, *args))
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for r in range(reps):
+        uu = u + jnp.zeros_like(u) if vary is None else u + u.dtype.type(
+            1e-6 * (r + 1))
+        out = fn(uu, *args)
+    _force(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -64,25 +76,27 @@ def run_one(sz, deg, reps, K):
     ms = solver._mode_statics[0]
     leaf = solver._tcfg.leaf_level
 
-    upf = jax.jit(lambda st, u: A._up_pass(st, leaf, u))
-    M = {k: jax.block_until_ready(v) for k, v in upf(static, u).items()}
-    t_up = timeit(upf, static, u, reps=reps)
+    upf = jax.jit(lambda u, st: A._up_pass(st, leaf, u))
+    M = {k: jax.block_until_ready(v) for k, v in upf(u, static).items()}
+    t_up = timeit(upf, u, static, reps=reps, vary=0)
 
     down = jax.jit(
-        lambda st, c, ms, M: jnp.einsum(
+        lambda u, st, c, ms: jnp.einsum(
             "kc,ijc->ijk", st["l2t"],
-            A._down_pass(st, leaf, M, c["m2l_E"], ms["m2l_cosr"]),
+            A._down_pass(st, leaf, A._up_pass(st, leaf, u), c["m2l_E"],
+                         ms["m2l_cosr"], coeffs=c.get("coeffs")),
         )
     )
-    t_down = timeit(down, static, caches, ms, M, reps=reps)
+    t_updown = timeit(down, u, static, caches, ms, reps=reps, vary=0)
+    t_down = t_updown - t_up
 
-    near = jax.jit(lambda c, ms, u: A._near_apply(c, ms, 0, u))
-    t_near = timeit(near, caches, ms, u, reps=reps)
+    near = jax.jit(lambda u, c, ms: A._near_apply(c, ms, 0, u))
+    t_near = timeit(near, u, caches, ms, reps=reps, vary=0)
 
     full = jax.jit(
-        lambda st, c, ms, u: A.fmm_apply_mode(leaf, st, c, ms, 0, u)
+        lambda u, st, c, ms: A.fmm_apply_mode(leaf, st, c, ms, 0, u)
     )
-    t_full = timeit(full, static, caches, ms, u, reps=reps)
+    t_full = timeit(full, u, static, caches, ms, reps=reps, vary=0)
 
     import functools
 
@@ -93,10 +107,19 @@ def run_one(sz, deg, reps, K):
         v, _ = jax.lax.scan(body, u, None, length=k)
         return v
 
-    jax.block_until_ready(chain(static, caches, ms, u, K))
+    _force(chain(static, caches, ms, u, K))
     t0 = time.perf_counter()
-    jax.block_until_ready(chain(static, caches, ms, u, K))
+    _force(chain(static, caches, ms, u + jnp.float32(1e-6), K))
     t_chain = (time.perf_counter() - t0) / K
+    # plausibility gate (round-2 weak item 2): a chained apply cannot be
+    # faster than streaming its caches once at ~1 TB/s
+    floor_s = (m2l_cache_bytes(caches["m2l_E"])
+               + int(np.prod(caches["near_E"].shape)) * 4) / 1e12
+    implausible = t_chain < floor_s
+    if implausible:
+        print(f"WARNING: implausible chained timing {t_chain*1e3:.3f} ms "
+              f"(< cache-stream floor {floor_s*1e3:.3f} ms); recording as "
+              "invalid", flush=True)
 
     m2l_bytes = m2l_cache_bytes(caches["m2l_E"])
     near_bytes = int(np.prod(caches["near_E"].shape)) * 4
@@ -107,6 +130,7 @@ def run_one(sz, deg, reps, K):
         "near_ms": round(t_near * 1e3, 3),
         "full_single_dispatch_ms": round(t_full * 1e3, 3),
         "chained_ms_per_apply": round(t_chain * 1e3, 3),
+        "timing_valid": not implausible,
         "m2l_cache_mb": round(m2l_bytes / 1e6, 1),
         "near_cache_mb": round(near_bytes / 1e6, 1),
         "cache_bw_gbps": round((m2l_bytes + near_bytes) / t_chain / 1e9, 1),
