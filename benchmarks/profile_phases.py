@@ -131,6 +131,11 @@ def run_one(sz, deg, reps, K):
         "full_single_dispatch_ms": round(t_full * 1e3, 3),
         "chained_ms_per_apply": round(t_chain * 1e3, 3),
         "timing_valid": not implausible,
+        "phase_timing_note": (
+            "up/down/near/full are separate-dispatch timings; the remote "
+            "tunnel's ~2-5 ms dispatch cost dominates sub-ms phases, so "
+            "chained_ms_per_apply is the reliable figure"
+        ),
         "m2l_cache_mb": round(m2l_bytes / 1e6, 1),
         "near_cache_mb": round(near_bytes / 1e6, 1),
         "cache_bw_gbps": round((m2l_bytes + near_bytes) / t_chain / 1e9, 1),
