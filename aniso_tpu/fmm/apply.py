@@ -370,32 +370,103 @@ def _patch_3x3(u: jnp.ndarray) -> jnp.ndarray:
     return patches[0].reshape(q, 3, 3, u.shape[0], u.shape[1])
 
 
+# bound on the materialized near-E temp in the virtual (re-formed)
+# representation; beyond it the apply streams row blocks.  The unchunked
+# f64 form at 512^2 needed a 5.7 GB temp that XLA remat-copied to 17.9 GB
+# -- a compile-time HBM overflow (measured round 3).
+_NEAR_VIRTUAL_CHUNK_CAP_BYTES = 256 * 1024 * 1024
+
+
+def _near_block_contract(near_E, mode_static, u_patch):
+    block = (
+        jnp.expm1(-near_E) * mode_static["near_cosrw"][..., None, None]
+        + mode_static["near_static"][..., None, None]
+    )
+    return jnp.einsum(
+        "abtsij,sabij->ijt", block, u_patch, precision=HIGHEST
+    )
+
+
+def _near_apply_virtual_chunked(caches, mode_static, u, rows):
+    """Stream the virtual near field in row blocks of `rows` target rows:
+    each block re-forms its near-E slice from the coefficient field (one
+    row of halo each side) and contracts immediately, so the temp is
+    (3, 3, nq, nq, rows, sz) instead of the full field."""
+    sz, nq = u.shape[0], u.shape[-1]
+    W = caches["near_W"]
+    inv_sz = 1.0 / sz
+    pad_c = jnp.pad(caches["coeffs"], ((1, 1), (1, 1), (0, 0)))
+    pad_u = jnp.pad(u, ((1, 1), (1, 1), (0, 0)))
+    nb = sz // rows
+    c_blk = jnp.stack([
+        pad_c[i * rows : i * rows + rows + 2] for i in range(nb)
+    ])
+    u_blk = jnp.stack([
+        pad_u[i * rows : i * rows + rows + 2] for i in range(nb)
+    ])
+
+    def one(args):
+        cb, ub = args
+        # cb carries its own one-row/col halo: patches via VALID conv
+        # (re-padding through _near_E_einsum would zero the halo)
+        cpatch = _patch_3x3_padded(cb, nq)     # (q, 3, 3, rows, sz)
+        E = jnp.einsum(
+            "abtscdq,qcdij->abtsij", W, cpatch, precision=HIGHEST
+        ) * inv_sz
+        up = _patch_3x3_padded(ub, nq)
+        return _near_block_contract(E, mode_static, up)
+
+    out = jax.lax.map(one, (c_blk, u_blk))
+    return out.reshape(sz, sz, nq)
+
+
+def _patch_3x3_padded(u_pad: jnp.ndarray, q: int) -> jnp.ndarray:
+    """(rows+2, sz+2, q) pre-padded -> (q, 3, 3, rows, sz) windows."""
+    inp = u_pad.transpose(2, 0, 1)[None]
+    patches = jax.lax.conv_general_dilated_patches(
+        inp, filter_shape=(3, 3), window_strides=(1, 1),
+        padding="VALID", precision=HIGHEST,
+    )  # (1, q*9, rows, sz)
+    return patches[0].reshape(
+        q, 3, 3, u_pad.shape[0] - 2, u_pad.shape[1] - 2
+    )
+
+
 def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
     """U-list near field: fused smooth blocks + static correction stencil.
 
     block = expm1(-E_near) * cos(m theta)/r * w_src + static stencil; the
     m = 0 self-node diagonal adds sigma_hat * w * u elementwise (reference
     KernelFactory.cpp:260).  near_E is stored (3, 3, nq_t, nq_s, sz, sz)
-    (spatial minor-most; see fmm.smooth.build_near_E).
+    (spatial minor-most; see fmm.smooth.build_near_E), or re-formed from
+    the coefficient field in the virtual representation (chunked over
+    target rows when the temp would exceed the cap).
     """
+    sz, nq = u.shape[0], u.shape[-1]
     if "near_E" in caches:
-        near_E = caches["near_E"]
+        out = _near_block_contract(
+            caches["near_E"], mode_static, _patch_3x3(u)
+        )
     else:
         # virtual representation: re-form E from the coefficient field
-        # (1/sz = dx on the unit square); trades one einsum per apply for
-        # not storing the (3,3,nq,nq,sz,sz) tensor (1.5 GB f64 at 512^2)
-        from .smooth import _near_E_einsum
+        # (1/sz = dx on the unit square)
+        itemsize = caches["coeffs"].dtype.itemsize
+        full_bytes = 9 * nq * nq * sz * sz * itemsize
+        rows = sz
+        while rows > 8 and full_bytes // (sz // rows) > \
+                _NEAR_VIRTUAL_CHUNK_CAP_BYTES:
+            rows //= 2
+        if rows == sz:
+            from .smooth import _near_E_einsum
 
-        near_E = _near_E_einsum(
-            caches["near_W"], caches["coeffs"]
-        ) * (1.0 / u.shape[0])
-    block = (
-        jnp.expm1(-near_E) * mode_static["near_cosrw"][..., None, None]
-        + mode_static["near_static"][..., None, None]
-    )
-    out = jnp.einsum(
-        "abtsij,sabij->ijt", block, _patch_3x3(u), precision=HIGHEST
-    )
+            near_E = _near_E_einsum(
+                caches["near_W"], caches["coeffs"]
+            ) * (1.0 / sz)
+            out = _near_block_contract(near_E, mode_static, _patch_3x3(u))
+        else:
+            out = _near_apply_virtual_chunked(
+                caches, mode_static, u, rows
+            )
     if mode == 0:
         out = out + caches["sigma_w"] * u
     duffy = mode_static.get("duffy")

@@ -120,3 +120,29 @@ def test_device_twin_matches_host_twin_oracle(monkeypatch):
         np.asarray(results["device"].x) - np.asarray(results["host"].x)
     ).max()
     assert dx < 1e-9, dx
+
+
+def test_virtual_near_chunked_matches_unchunked(monkeypatch):
+    """Forcing the chunked virtual near path (tiny temp cap) must
+    reproduce the stored-near_E operator exactly."""
+    import aniso_tpu.fmm.apply as A
+    import aniso_tpu.fmm.smooth as S
+
+    monkeypatch.setattr(S, "_DENSE_E_LEVEL_CAP_BYTES", 0)
+    cfg = SolverConfig(
+        domain_size=16, quad_rule=3, kernel_size=1, g=0.5, sing_rule=8,
+        np_cheb=4, dtype="float32", refine=True, tol=1e-9,
+    )
+    s = TransportSolver(cfg, backend="fmm")
+    grid = s.grid
+    sig = 8 * 0.5 * (1 - np.cos(2 * np.pi * grid.nodes_x))
+    s.set_coeff(sig, sig + 0.2)
+    rng = np.random.default_rng(11)
+    v = jnp.asarray(
+        rng.standard_normal((1,) + grid.nodes_x.shape), jnp.float64
+    )
+    ref = np.asarray(s._forward64(v))
+    monkeypatch.setattr(A, "_NEAR_VIRTUAL_CHUNK_CAP_BYTES", 1)
+    s._make_fmm_jits()     # retrace with chunking forced
+    out = np.asarray(s._forward64(v))
+    np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-14)
