@@ -66,25 +66,25 @@ def near_weights_np(deg: int) -> np.ndarray:
     return near_pair_weights(make_grid(4, deg))
 
 
-_W_DEVICE_CACHE: dict = {}
+@functools.lru_cache(maxsize=None)
+def _fine_W_flat_np(deg: int, np_cheb: int, B: int, dtype_str: str):
+    """(4, Q, P) factored-layout weight operator in CELL units, host
+    numpy, lru-cached per dtype.  Uploaded per set_coeff call (~1-3 s at
+    the tunnel's ~500 MB/s): a device-resident cache was tried and
+    reverted -- it pinned ~1.8 GB of HBM that the 512^2 refine config
+    needs for its caches, and set_coeff is rare."""
+    W = fine_m2l_weights_np(deg, np_cheb, B)
+    nq = deg * deg
+    PX = 7 * B
+    Wr = W.transpose(0, 4, 2, 3, 1).reshape(4, nq * PX * PX, -1)
+    return np.ascontiguousarray(Wr.astype(np.dtype(dtype_str)))
 
 
 def _fine_W_device(grid: Grid, np_cheb: int, B: int, dtype) -> jnp.ndarray:
-    """Device-resident (4, Q, P) factored-level weight operator in CELL
-    units, cached across set_coeff calls (it is sigma-independent;
-    re-uploading ~0.5 GB per call through the remote-TPU tunnel was pure
-    waste).  Cell units keep the cache grid-size independent -- keying on
-    sz would pin a fresh ~1.4 GB per size touched in one process (the
-    round-3 scale series OOM'd exactly this way).  Callers scale by
-    grid.dx."""
-    key = (grid.deg, np_cheb, B, jnp.dtype(dtype).str,
-           jax.default_backend())
-    if key not in _W_DEVICE_CACHE:
-        W = fine_m2l_weights_np(grid.deg, np_cheb, B)
-        PX = 7 * B
-        Wr = W.transpose(0, 4, 2, 3, 1).reshape(4, grid.nq * PX * PX, -1)
-        _W_DEVICE_CACHE[key] = jnp.asarray(Wr, dtype=dtype)
-    return _W_DEVICE_CACHE[key]
+    """Upload the cell-units W operator for one fine level."""
+    return jnp.asarray(
+        _fine_W_flat_np(grid.deg, np_cheb, B, jnp.dtype(dtype).str)
+    )
 
 
 @functools.lru_cache(maxsize=None)
