@@ -212,9 +212,13 @@ import os as _os
 
 USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "0")
 
-# dense-level translate: fused mul+reduce (single E read) vs dot_general
-# (materializes the exp(-E)*cosr operator transient).  See one_chunk.
-M2L_DENSE_FUSED = _os.environ.get("ANISO_M2L_DENSE_FUSED", "1") != "0"
+# dense-level translate: dot_general (default) vs fused mul+reduce.  The
+# fused form reads E once in principle, but its broadcast-reduce makes
+# XLA's layout assignment prefer an m2-minor layout for the E parameter
+# -- a full-cache layout COPY (6.75 GB at the 512^2 leaf, compile-time
+# OOM; dump in results_scale.json) that the dot form does not trigger.
+# Measured identical at 256^2 (7.63 vs 7.67 ms), so dot is the default.
+M2L_DENSE_FUSED = _os.environ.get("ANISO_M2L_DENSE_FUSED", "0") == "1"
 
 
 def use_pallas_m2l() -> bool:
