@@ -560,8 +560,12 @@ def build_m2l_E_coarse(
 # big leaf is the first to fall back to factored.
 import os as _os
 
+# per-level cap: XLA's layout assignment re-lays a consumed dense level
+# as a full-size program temp (measured: a 6.75 GB copy of the 512^2
+# leaf -> compile OOM; the 1.8 GB 256^2 leaf fits silently), so a single
+# dense level is capped at 2 GB and bigger levels go factored
 _DENSE_E_LEVEL_CAP_BYTES = (
-    int(_os.environ.get("ANISO_DENSE_E_CAP_MB", 16 * 1024)) * 1024 * 1024
+    int(_os.environ.get("ANISO_DENSE_E_CAP_MB", 2 * 1024)) * 1024 * 1024
 )
 # default sized for the 16 GB v5e chip: 512^2 all-dense m2l E is 9.67 GB
 # (coarse 0.6 + B=2 1.8 + leaf 7.2), leaving ~4 GB for the near cache,
