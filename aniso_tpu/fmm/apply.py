@@ -196,8 +196,10 @@ def _vlist_gather(M_l: jnp.ndarray):
 
 # cap on the materialized fused-operator transient per parity class; rows
 # are processed in lax.map chunks beyond it (512^2 leaf E is 1.8 GB f32 /
-# 3.6 GB f64 per class -- unchunked it would double peak HBM)
-_M2L_TRANSIENT_CAP_BYTES = 512 * 1024 * 1024
+# 3.6 GB f64 per class -- unchunked it would double peak HBM).  256 MB:
+# XLA keeps ~3 such temps live inside a GMRES-loop matvec, and the 512^2
+# solve program budget is tight (measured 16.4 of 15.75 GB at 512 MB).
+_M2L_TRANSIENT_CAP_BYTES = 256 * 1024 * 1024
 
 # Optional Pallas translate kernels (fmm.pallas_m2l): factored levels
 # form and kill E inside VMEM; dense levels read each E tile exactly
@@ -400,36 +402,42 @@ def _near_block_contract(near_E, mode_static, u_patch):
     )
 
 
-def _near_apply_virtual_chunked(caches, mode_static, u, rows):
-    """Stream the virtual near field in row blocks of `rows` target rows:
-    each block re-forms its near-E slice from the coefficient field (one
-    row of halo each side) and contracts immediately, so the temp is
-    (3, 3, nq, nq, rows, sz) instead of the full field."""
+def _near_apply_chunked(caches, mode_static, u, rows, virtual):
+    """Stream the near field in row blocks of `rows` target rows: each
+    block's near-E slice is re-formed from the coefficient field
+    (virtual; one halo row each side) or dynamic-sliced from the stored
+    tensor, and contracted immediately -- the live temp is
+    (3, 3, nq, nq, rows, sz) instead of the full field (765 MB f32 /
+    1.5 GB f64 at 512^2, of which XLA kept two copies alive inside the
+    GMRES loop).  Index-scan + dynamic_slice keeps the stored cache a
+    loop-invariant operand."""
     sz, nq = u.shape[0], u.shape[-1]
-    W = caches["near_W"]
-    inv_sz = 1.0 / sz
-    pad_c = jnp.pad(caches["coeffs"], ((1, 1), (1, 1), (0, 0)))
     pad_u = jnp.pad(u, ((1, 1), (1, 1), (0, 0)))
+    if virtual:
+        W = caches["near_W"]
+        inv_sz = 1.0 / sz
+        pad_c = jnp.pad(caches["coeffs"], ((1, 1), (1, 1), (0, 0)))
     nb = sz // rows
-    c_blk = jnp.stack([
-        pad_c[i * rows : i * rows + rows + 2] for i in range(nb)
-    ])
-    u_blk = jnp.stack([
-        pad_u[i * rows : i * rows + rows + 2] for i in range(nb)
-    ])
 
-    def one(args):
-        cb, ub = args
-        # cb carries its own one-row/col halo: patches via VALID conv
-        # (re-padding through _near_E_einsum would zero the halo)
-        cpatch = _patch_3x3_padded(cb, nq)     # (q, 3, 3, rows, sz)
-        E = jnp.einsum(
-            "abtscdq,qcdij->abtsij", W, cpatch, precision=HIGHEST
-        ) * inv_sz
+    def one(i):
+        i0 = i * rows
+        if virtual:
+            # the slice carries its own halo: patches via VALID conv
+            # (re-padding through _near_E_einsum would zero the halo)
+            cb = jax.lax.dynamic_slice_in_dim(pad_c, i0, rows + 2, axis=0)
+            cpatch = _patch_3x3_padded(cb, nq)     # (q, 3, 3, rows, sz)
+            E = jnp.einsum(
+                "abtscdq,qcdij->abtsij", W, cpatch, precision=HIGHEST
+            ) * inv_sz
+        else:
+            E = jax.lax.dynamic_slice_in_dim(
+                caches["near_E"], i0, rows, axis=4
+            )
+        ub = jax.lax.dynamic_slice_in_dim(pad_u, i0, rows + 2, axis=0)
         up = _patch_3x3_padded(ub, nq)
         return _near_block_contract(E, mode_static, up)
 
-    out = jax.lax.map(one, (c_blk, u_blk))
+    out = jax.lax.map(one, jnp.arange(nb))
     return out.reshape(sz, sz, nq)
 
 
@@ -456,30 +464,28 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
     target rows when the temp would exceed the cap).
     """
     sz, nq = u.shape[0], u.shape[-1]
-    if "near_E" in caches:
+    virtual = "near_E" not in caches
+    itemsize = (
+        caches["coeffs"] if virtual else caches["near_E"]
+    ).dtype.itemsize
+    full_bytes = 9 * nq * nq * sz * sz * itemsize
+    rows = sz
+    while rows > 8 and full_bytes // (sz // rows) > \
+            _NEAR_VIRTUAL_CHUNK_CAP_BYTES:
+        rows //= 2
+    if rows < sz:
+        out = _near_apply_chunked(caches, mode_static, u, rows, virtual)
+    elif virtual:
+        from .smooth import _near_E_einsum
+
+        near_E = _near_E_einsum(
+            caches["near_W"], caches["coeffs"]
+        ) * (1.0 / sz)
+        out = _near_block_contract(near_E, mode_static, _patch_3x3(u))
+    else:
         out = _near_block_contract(
             caches["near_E"], mode_static, _patch_3x3(u)
         )
-    else:
-        # virtual representation: re-form E from the coefficient field
-        # (1/sz = dx on the unit square)
-        itemsize = caches["coeffs"].dtype.itemsize
-        full_bytes = 9 * nq * nq * sz * sz * itemsize
-        rows = sz
-        while rows > 8 and full_bytes // (sz // rows) > \
-                _NEAR_VIRTUAL_CHUNK_CAP_BYTES:
-            rows //= 2
-        if rows == sz:
-            from .smooth import _near_E_einsum
-
-            near_E = _near_E_einsum(
-                caches["near_W"], caches["coeffs"]
-            ) * (1.0 / sz)
-            out = _near_block_contract(near_E, mode_static, _patch_3x3(u))
-        else:
-            out = _near_apply_virtual_chunked(
-                caches, mode_static, u, rows
-            )
     if mode == 0:
         out = out + caches["sigma_w"] * u
     duffy = mode_static.get("duffy")

@@ -28,7 +28,7 @@ import numpy as np
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results_scale.json")
 
 
-def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
+def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps, restart=80):
     import jax.numpy as jnp
     from aniso_tpu import SolverConfig
     from aniso_tpu.solver.operator import TransportSolver
@@ -40,7 +40,7 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps):
     cfg = SolverConfig(
         domain_size=sz, quad_rule=3, kernel_size=n_modes, g=g,
         sing_rule=8, np_cheb=np_cheb, dtype="float32", refine=refine,
-        tol=tol, restart=80, max_iter=400,
+        tol=tol, restart=restart, max_iter=400,
     )
     t0 = time.time()
     solver = TransportSolver(cfg, backend="fmm")
@@ -153,6 +153,11 @@ def main():
     ap.add_argument("--np-cheb", type=int, default=4)
     ap.add_argument("--no-refine", action="store_true")
     ap.add_argument("--matvec-reps", type=int, default=50)
+    ap.add_argument("--restart", type=int, default=80,
+                    help="GMRES restart (the Krylov basis is a "
+                         "(restart+1) x n temp inside the solve program; "
+                         "40 suffices at <=30-iteration configs and "
+                         "halves it)")
     ap.add_argument("--tag", type=str, default="")
     args = ap.parse_args()
 
@@ -165,7 +170,7 @@ def main():
         try:
             rec = run_one(
                 sz, args.modes, args.g, args.tol, not args.no_refine,
-                args.np_cheb, args.matvec_reps,
+                args.np_cheb, args.matvec_reps, args.restart,
             )
             # release the previous size's device buffers before the next
             # (solver caches die with run_one's frame; force collection)
