@@ -242,8 +242,17 @@ def _interleave_classes(outs, m2, r):
     )
 
 
-def _row_chunk(m2, P, itemsize):
-    """Rows per streamed chunk so the materialized transient stays bounded."""
+def _row_chunk(m2, P, itemsize, n_shards=1):
+    """Rows per streamed chunk so the materialized transient stays bounded.
+
+    n_shards > 1 disables chunking entirely: a dynamic_slice along a
+    GSPMD-sharded axis forces an all-gather of the operand (round-3
+    VERDICT item 2 -- 2.75 GB/shard re-gathered at 1024^2), while the
+    partitioner already bounds every per-device transient to 1/n_shards
+    of the global footprint.  Under a mesh, locality comes from the
+    sharding itself, never from host-chosen chunks."""
+    if n_shards > 1:
+        return m2
     class_bytes = m2 * m2 * P * itemsize
     chunk = m2
     while chunk > 1 and (class_bytes // (m2 // chunk)) > _M2L_TRANSIENT_CAP_BYTES:
@@ -251,10 +260,13 @@ def _row_chunk(m2, P, itemsize):
     return chunk
 
 
-def _m2l_translate(E_l, cosr_l, gsel):
+def _m2l_translate(E_l, cosr_l, gsel, n_shards=1):
     """Fused V-list translation at one level -> local expansions (m, m, r).
 
-    E_l: (4, m2, m2, r*27*r) with pair axis (a, o, b) -- or the factored
+    E_l: dense (4, m2, m2, r*27*r) with pair axis (a, o, b) -- stacked
+    (coarse levels) or a per-class tuple of 4 (m2, m2, P) blocks (fine
+    levels; blocked so no single array crosses the XLA layout-copy
+    threshold, fmm.smooth.build_m2l_E_fine) -- or the factored
     {'patch': (4, m2, m2, Q), 'W': (4, Q, P)} form (fmm.smooth.
     build_m2l_patch_fine), in which case each streamed chunk first re-forms
     its E rows as one (chunk*m2, Q) @ (Q, P) MXU matmul.  cosr_l:
@@ -283,9 +295,12 @@ def _m2l_translate(E_l, cosr_l, gsel):
             ]
             return _interleave_classes(outs, m2, r)
     else:
-        m2, P = E_l.shape[1], E_l.shape[-1]
-        itemsize = E_l.dtype.itemsize
-        if use_pallas_m2l() and E_l.dtype == jnp.float32:
+        # E_l[c] is (m2, m2, P) for both the stacked array and the
+        # per-class tuple forms
+        E0 = E_l[0]
+        m2, P = E0.shape[0], E0.shape[-1]
+        itemsize = E0.dtype.itemsize
+        if use_pallas_m2l() and E0.dtype == jnp.float32:
             from .pallas_m2l import m2l_translate_class_dense_pallas
 
             interpret = jax.default_backend() == "cpu"
@@ -299,7 +314,7 @@ def _m2l_translate(E_l, cosr_l, gsel):
             return _interleave_classes(outs, m2, r)
     ob = gsel.shape[-1]
     r = P // ob
-    chunk = _row_chunk(m2, P, itemsize)
+    chunk = _row_chunk(m2, P, itemsize, n_shards)
 
     def one_chunk(c, Eb, gb):
         rows = Eb.shape[0]
@@ -353,7 +368,8 @@ def _level_E(m2l_E, level, coeffs):
     return E_l
 
 
-def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None):
+def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None,
+               n_shards=1):
     """M2L + L2L sweep; one fused M2L and one L2L einsum per level."""
     m2m = static["m2m"]
     lo = coarsest_m2l_level()
@@ -361,7 +377,7 @@ def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None):
     for level in range(lo, leaf_level + 1):
         gsel = _vlist_gather(M[level])
         T = _m2l_translate(_level_E(m2l_E, level, coeffs),
-                           m2l_cosr[level], gsel)
+                           m2l_cosr[level], gsel, n_shards)
         if L is None:
             L = T
         else:
@@ -414,8 +430,7 @@ def _near_apply_chunked(caches, mode_static, u, rows, virtual):
     sz, nq = u.shape[0], u.shape[-1]
     pad_u = jnp.pad(u, ((1, 1), (1, 1), (0, 0)))
     if virtual:
-        W = caches["near_W"]
-        inv_sz = 1.0 / sz
+        W = caches["near_W"]          # grid.dx pre-folded at cache build
         pad_c = jnp.pad(caches["coeffs"], ((1, 1), (1, 1), (0, 0)))
     nb = sz // rows
 
@@ -428,7 +443,7 @@ def _near_apply_chunked(caches, mode_static, u, rows, virtual):
             cpatch = _patch_3x3_padded(cb, nq)     # (q, 3, 3, rows, sz)
             E = jnp.einsum(
                 "abtscdq,qcdij->abtsij", W, cpatch, precision=HIGHEST
-            ) * inv_sz
+            )
         else:
             E = jax.lax.dynamic_slice_in_dim(
                 caches["near_E"], i0, rows, axis=4
@@ -453,7 +468,8 @@ def _patch_3x3_padded(u_pad: jnp.ndarray, q: int) -> jnp.ndarray:
     )
 
 
-def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
+def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray,
+                n_shards: int = 1):
     """U-list near field: fused smooth blocks + static correction stencil.
 
     block = expm1(-E_near) * cos(m theta)/r * w_src + static stencil; the
@@ -468,9 +484,12 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
     itemsize = (
         caches["coeffs"] if virtual else caches["near_E"]
     ).dtype.itemsize
+    # chunking a GSPMD-sharded axis with dynamic_slice would all-gather
+    # the operand; under a mesh the partitioner bounds per-device temps
+    # already, so the row streaming is single-device-only (see _row_chunk)
     full_bytes = 9 * nq * nq * sz * sz * itemsize
     rows = sz
-    while rows > 8 and full_bytes // (sz // rows) > \
+    while n_shards == 1 and rows > 8 and full_bytes // (sz // rows) > \
             _NEAR_VIRTUAL_CHUNK_CAP_BYTES:
         rows //= 2
     if rows < sz:
@@ -478,9 +497,8 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
     elif virtual:
         from .smooth import _near_E_einsum
 
-        near_E = _near_E_einsum(
-            caches["near_W"], caches["coeffs"]
-        ) * (1.0 / sz)
+        # near_W carries grid.dx already (solver.operator cache build)
+        near_E = _near_E_einsum(caches["near_W"], caches["coeffs"])
         out = _near_block_contract(near_E, mode_static, _patch_3x3(u))
     else:
         out = _near_block_contract(
@@ -495,12 +513,15 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray):
     return out
 
 
-def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u):
+def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u,
+                   n_shards: int = 1):
     """Corrected mode matvec K_m u including the 1/2pi scaling.
 
     caches: {'near_E', 'm2l_E', 'sigma_w'[, 'duffy']} from
     solver.operator._build_fmm_caches (sigma-dependent, mode-independent);
     mode_static: per-mode static tables from build_mode_static.
+    n_shards: mesh device count when the caches/field are sharded (the
+    transient-cap chunking then applies per shard, see _row_chunk).
     (The reference's six-pass corrected matvec, main.cpp:78-119, collapsed
     into one up sweep, one fused translation per level, and one U-list
     contraction.)
@@ -508,14 +529,15 @@ def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u):
     M = _up_pass(static, leaf_level, u)
     L = _down_pass(
         static, leaf_level, M, caches["m2l_E"], mode_static["m2l_cosr"],
-        coeffs=caches.get("coeffs"),
+        coeffs=caches.get("coeffs"), n_shards=n_shards,
     )
     far = jnp.einsum("kc,ijc->ijk", static["l2t"], L, precision=HIGHEST)
-    near = _near_apply(caches, mode_static, mode, u)
+    near = _near_apply(caches, mode_static, mode, u, n_shards)
     return (far + near) / (2.0 * jnp.pi)
 
 
-def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u):
+def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u,
+                        n_shards: int = 1):
     """K_d u for every mode d at once, sharing the up sweep and V-list
     gathers across modes: returns (D, sz, sz, nq).
 
@@ -532,7 +554,7 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u):
         gsel = _vlist_gather(M[level])
         E_l = _level_E(caches["m2l_E"], level, caches.get("coeffs"))
         T = jnp.stack([
-            _m2l_translate(E_l, ms["m2l_cosr"][level], gsel)
+            _m2l_translate(E_l, ms["m2l_cosr"][level], gsel, n_shards)
             for ms in mode_statics
         ])
         if L is None:
@@ -544,6 +566,7 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u):
             L = Lc.reshape(D, 2 * m2, 2 * m2, r) + T
     far = jnp.einsum("kc,dijc->dijk", static["l2t"], L, precision=HIGHEST)
     near = jnp.stack([
-        _near_apply(caches, ms, d, u) for d, ms in enumerate(mode_statics)
+        _near_apply(caches, ms, d, u, n_shards)
+        for d, ms in enumerate(mode_statics)
     ])
     return (far + near) / (2.0 * jnp.pi)

@@ -24,8 +24,13 @@ Mosaic tiling: every BlockSpec keeps its last two dims either equal to the
 array dims or (8, 128)-aligned -- the operand layouts are reshaped so OB
 (= 27 r, not 128-aligned) only ever appears as a full trailing dim.
 
-Enabled by default on TPU backends (fmm.apply.use_pallas_m2l; opt-out
-ANISO_PALLAS_M2L=0, XLA everywhere else incl. all f64 paths).  Reference
+OPT-IN, not the default: round-3 chip qualification (TPU v5e) found both
+kernels correct on hardware (<= 7e-8 vs XLA) but SLOWER than the XLA
+paths at the measured sizes (256^2 all-dense: ~31 ms vs 7.6 ms XLA;
+factored: ~parity) -- XLA's transient traffic is cheaper than this
+kernel's per-grid-step overheads there, so fmm.apply defaults
+ANISO_PALLAS_M2L to '0' (XLA).  Enable with ANISO_PALLAS_M2L=1, or
+'auto' (Pallas on non-CPU backends); f64 always runs XLA.  Reference
 counterpart: the M2L half of downPassFast (bbfmm.h:1041-1129) -- per-node
 dgemv from a per-node cache.
 """

@@ -208,36 +208,66 @@ def patch_for_level(coeffs, level: int) -> jnp.ndarray:
     """(4, m2, m2, Q) per-box coefficient patches at a fine level, straight
     from the (sz, sz, nq) coefficient field.  Pure data movement -- the
     'virtual' cache representation recomputes this inside the matvec
-    instead of storing it (926 MB f64 per level at 512^2)."""
-    sz = coeffs.shape[0]
+    instead of storing it (926 MB f64 per level at 512^2).
+
+    Built from STATIC box-plane slices, not a strided window conv: the
+    (7B, 7B)-window stride-2B `conv_general_dilated_patches` form defeats
+    GSPMD partitioning and re-gathers the whole sharded coefficient field
+    (round-3 VERDICT item 2: 62 all-gathers x 2.75 GB/shard at 1024^2).
+    The patch of box (x, y) in class (px, py) covers cells
+    [px*B + 2Bx - 3B, px*B + 2Bx + 4B) per axis = a fixed 4-box window
+    on the 2B-cell box plane (offsets px-2 .. px+1), so the assembly is
+    8 zero-padded shifted slices per axis -- a halo-2 stencil GSPMD
+    lowers to O(halo) collective-permutes, exactly like _vlist_gather.
+    """
+    sz, nq = coeffs.shape[0], coeffs.shape[-1]
     B = sz >> level
     m2 = (1 << level) // 2
     PX = 7 * B
-    pad = jnp.pad(coeffs, ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)))
-    ext = 2 * m2 * B + 5 * B
+    S = 2 * B                   # box-plane pitch in cells
+    Cb = coeffs.reshape(m2, S, m2, S, nq)
+    padB = jnp.pad(Cb, ((2, 2), (0, 0), (2, 2), (0, 0), (0, 0)))
     patches = []
     for px in (0, 1):
+        # 4 consecutive boxes on the row axis: boxes x+px-2 .. x+px+1,
+        # i.e. cells [2Bx + (px-2)*2B, ... + 8B); trim to the 7B window
+        rows = jnp.concatenate(
+            [padB[px + s : px + s + m2] for s in range(4)], axis=1
+        )                                       # (m2, 8B, m2+4, S, nq)
+        rows = rows[:, B:] if px == 0 else rows[:, :PX]
         for py in (0, 1):
-            sl = pad[px * B : px * B + ext, py * B : py * B + ext]
-            p = jax.lax.conv_general_dilated_patches(
-                sl.transpose(2, 0, 1)[None], filter_shape=(PX, PX),
-                window_strides=(2 * B, 2 * B), padding="VALID",
-                precision=HIGHEST,
-            )[0]                                        # (nq*PX*PX, m2, m2)
-            patches.append(p.transpose(1, 2, 0))
+            cols = jnp.concatenate(
+                [rows[:, :, py + s : py + s + m2] for s in range(4)],
+                axis=3,
+            )                                   # (m2, PX, m2, 8B, nq)
+            cols = cols[:, :, :, B:] if py == 0 else cols[:, :, :, :PX]
+            # -> (m2, m2, nq, PX, PX) -> flat (q, a, b) minor order,
+            # matching the W operator layout (_fine_W_flat_np)
+            patches.append(
+                cols.transpose(0, 2, 4, 1, 3).reshape(m2, m2, nq * PX * PX)
+            )
     return jnp.stack(patches)
 
 
 def build_m2l_E_fine(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
     coeffs: jnp.ndarray, dtype=jnp.float32,
-) -> jnp.ndarray:
-    """(4, m2, m2, r*27*r) E at a fine level (B in {1, 2}), physical units.
+) -> tuple:
+    """Tuple of 4 per-parity-class (m2, m2, r*27*r) E tensors at a fine
+    level (B in {1, 2}), physical units.
 
-    One batched patch @ W contraction per level, sharing the device-
+    One batched patch @ W contraction per class, sharing the device-
     cached factored-layout weight operator (the dense and factored
     representations are the same linear map -- dense just materializes
     it at set_coeff time instead of per matvec).
+
+    Stored per CLASS, never stacked: XLA:TPU layout assignment
+    re-materializes any consumed dense array beyond ~2 GB as a full-size
+    re-laid program temp (measured: a 6.75 GB copy of the stacked 512^2
+    leaf -> compile OOM), so the blocked storage keeps every single
+    array at 1/4 of the level footprint -- the 512^2 leaf (7.25 GB
+    total, 1.81 GB/class) streams dense where the round-3 stacked form
+    was forced to the factored recompute path (round-3 VERDICT item 1).
 
     The pair axis is flattened in (a, o, b) order and kept minor-most:
     r*27*r = 6912 for np_cheb=4 is an exact multiple of the TPU 128-lane
@@ -247,8 +277,11 @@ def build_m2l_E_fine(
     B = tcfg.box_size_squares(level)
     W = _fine_W_device(grid, np_cheb, B, dtype)        # (4, Q, P), cell units
     patch = patch_for_level(coeffs.astype(dtype), level)
-    E = jnp.einsum("cxyq,cqp->cxyp", patch, W, precision=HIGHEST)
-    return E * jnp.asarray(grid.dx, dtype=dtype)
+    dx = jnp.asarray(grid.dx, dtype=dtype)
+    return tuple(
+        jnp.einsum("xyq,qp->xyp", patch[c], W[c], precision=HIGHEST) * dx
+        for c in range(4)
+    )
 
 
 def build_near_E_np(grid: Grid, coeffs_np: np.ndarray) -> np.ndarray:
@@ -637,7 +670,10 @@ def build_m2l_E(
         m2 = tcfg.boxes(level) // 2
         dense_bytes = 4 * m2 * m2 * (r * 27 * r) * itemsize
         if tcfg.box_size_squares(level) <= 2:
-            if dense_bytes > dense_cap_bytes or \
+            # fine levels store per CLASS (4 separate arrays), so the
+            # layout-copy cap applies to dense_bytes / 4, not the level
+            # total -- the 7.25 GB 512^2 leaf is 4 x 1.81 GB blocked
+            if dense_bytes // 4 > dense_cap_bytes or \
                spent + dense_bytes > budget_bytes:
                 log.info(
                     f"m2l E level {level}: factored (dense "
@@ -692,9 +728,15 @@ def m2l_cache_bytes(cache: dict) -> int:
     """Total footprint of the per-level E tensors (VERDICT item 4:
     footprint accounting; the reference prints the analogous per-mode cache
     report in Aniso.cpp:19-47 -- ours is mode-count independent).
-    Factored levels count their (patch, W) factors."""
+    Factored levels count their (patch, W) factors; per-class dense
+    levels (tuples) count every class block."""
     total = 0
     for v in cache.values():
-        leaves = v.values() if isinstance(v, dict) else (v,)
+        if isinstance(v, dict):
+            leaves = v.values()
+        elif isinstance(v, (list, tuple)):
+            leaves = v
+        else:
+            leaves = (v,)
         total += sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in leaves)
     return total

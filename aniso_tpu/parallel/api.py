@@ -88,11 +88,18 @@ def shard_pytree(mesh: Mesh, tree):
         root = keys[0] if keys else ""
         leaf = keys[-1] if keys else ""
         if root == "m2l_E":
-            # dense level (4, m2, m2, P) or factored 'patch' (4, m2, m2, Q)
+            # stacked dense level (4, m2, m2, P) or factored 'patch'
+            # (4, m2, m2, Q)
             sharded_member = x.ndim == 4 and leaf != "W"
             if sharded_member and _divisible(x.shape, mesh, 1, 2):
                 return jax.device_put(
                     x, NamedSharding(mesh, P(None, "x", "y"))
+                )
+            # per-class dense block (m2, m2, P) of a fine level (tuple
+            # members, fmm.smooth.build_m2l_E_fine)
+            if x.ndim == 3 and leaf != "W" and _divisible(x.shape, mesh, 0, 1):
+                return jax.device_put(
+                    x, NamedSharding(mesh, P("x", "y", None))
                 )
             # 'W' factors (4, Q, P) and coarse levels too small to split
             return replicate(mesh, x)
@@ -134,12 +141,17 @@ def sharded_solver(solver, mesh: Mesh):
     caches = shard_pytree(mesh, solver._caches)
     mode_statics = [shard_pytree(mesh, ms) for ms in solver._mode_statics]
     fspec = NamedSharding(mesh, P("x", "y"))
+    # transient-cap chunking applies per SHARD under the mesh: chunking a
+    # sharded axis with dynamic_slice would make GSPMD all-gather the
+    # operand (fmm.apply._row_chunk)
+    n_shards = int(mesh.devices.size)
 
     import functools
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def apply_fn(cch, ms, mode, u):
-        out = fmm_apply_mode(leaf, static, cch, ms, mode, u)
+        out = fmm_apply_mode(leaf, static, cch, ms, mode, u,
+                             n_shards=n_shards)
         return jax.lax.with_sharding_constraint(out, fspec)
 
     return apply_fn, caches, mode_statics

@@ -335,8 +335,11 @@ class TransportSolver:
             if virtual:
                 from ..fmm.smooth import near_weights_np
 
+                # grid.dx folded in here (the weights are in cell units),
+                # so the in-matvec re-forming needs no scale factor and
+                # stays correct for any domain scaling (ADVICE round 3)
                 out["near_W"] = jnp.asarray(
-                    near_weights_np(g.deg), dtype=dtype
+                    near_weights_np(g.deg) * g.dx, dtype=dtype
                 )
                 out["coeffs"] = coeffs_dev
             else:

@@ -88,7 +88,17 @@ def run_one(sz, deg, reps, K):
         )
     )
     t_updown = timeit(down, u, static, caches, ms, reps=reps, vary=0)
+    # t_down is a DIFFERENCE of two noisy remote-tunnel measurements; gate
+    # it like the chained figure (ADVICE round 3): implausible when
+    # negative or below streaming the M2L cache once at ~1 TB/s
     t_down = t_updown - t_up
+    down_floor_s = m2l_cache_bytes(caches["m2l_E"]) / 1e12
+    down_valid = t_down >= down_floor_s
+    if not down_valid:
+        print(f"WARNING: implausible differenced down-pass timing "
+              f"{t_down*1e3:.3f} ms (< M2L stream floor "
+              f"{down_floor_s*1e3:.3f} ms); recording as invalid",
+              flush=True)
 
     near = jax.jit(lambda u, c, ms: A._near_apply(c, ms, 0, u))
     t_near = timeit(near, u, caches, ms, reps=reps, vary=0)
@@ -127,6 +137,7 @@ def run_one(sz, deg, reps, K):
         "sz": sz, "deg": deg, "nodes": g.n_nodes, "reps": reps, "K": K,
         "up_ms": round(t_up * 1e3, 3),
         "down_ms": round(t_down * 1e3, 3),
+        "down_ms_valid": bool(down_valid),
         "near_ms": round(t_near * 1e3, 3),
         "full_single_dispatch_ms": round(t_full * 1e3, 3),
         "chained_ms_per_apply": round(t_chain * 1e3, 3),

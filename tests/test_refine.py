@@ -146,3 +146,28 @@ def test_virtual_near_chunked_matches_unchunked(monkeypatch):
     s._make_fmm_jits()     # retrace with chunking forced
     out = np.asarray(s._forward64(v))
     np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-14)
+
+
+def test_stored_near_chunked_matches_unchunked(monkeypatch):
+    """The chunked STORED-near_E branch (dynamic_slice of caches['near_E']
+    along axis 4) -- the branch the production f32 512^2 solve takes, since
+    its 765 MB near cache exceeds the temp cap -- must reproduce the
+    unchunked stored-E operator exactly (round-3 ADVICE item 3)."""
+    import aniso_tpu.fmm.apply as A
+
+    cfg = SolverConfig(
+        domain_size=16, quad_rule=3, kernel_size=1, g=0.5, sing_rule=8,
+        np_cheb=4, dtype="float32",
+    )
+    s = TransportSolver(cfg, backend="fmm")
+    grid = s.grid
+    sig = 8 * 0.5 * (1 - np.cos(2 * np.pi * grid.nodes_x))
+    s.set_coeff(sig, sig + 0.2)
+    assert "near_E" in s._caches          # stored (non-virtual) form
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal(grid.nodes_x.shape), jnp.float32)
+    ref = np.asarray(s.apply_mode(0, v))
+    monkeypatch.setattr(A, "_NEAR_VIRTUAL_CHUNK_CAP_BYTES", 1)
+    s._make_fmm_jits()     # retrace with row streaming forced
+    out = np.asarray(s.apply_mode(0, v))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
