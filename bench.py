@@ -120,9 +120,13 @@ def main():
         "unit": "grid-points/s/chip",
         "vs_baseline": None if vs is None else round(vs, 2),
     }))
+    from aniso_tpu.utils.roofline import roofline_summary
+
     detail = {
         "setup_set_coeff_s": round(setup_s, 2),
         "matvec_ms": round(per * 1e3, 3),
+        # bytes-streamed / FLOPs / %peak accounting (VERDICT r3 item 6)
+        "roofline": roofline_summary(solver, per),
         "m2l_translate_path": "pallas" if A.use_pallas_m2l() else "xla",
         "level_repr": {
             int(lv): ("factored" if isinstance(v, dict) else "dense")

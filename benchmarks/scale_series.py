@@ -38,6 +38,7 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps, restart=80):
     from aniso_tpu.solver.operator import TransportSolver
     from aniso_tpu.fmm import apply as A
     from aniso_tpu.fmm.smooth import m2l_cache_bytes
+    from aniso_tpu.utils.roofline import roofline_summary
 
     cfg = SolverConfig(
         domain_size=sz, quad_rule=3, kernel_size=n_modes, g=g,
@@ -133,6 +134,7 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps, restart=80):
         "history": [float(h) for h in getattr(res, "history", [])],
         "e_cache_mb_f32": round(cache_mb, 1),
         "set_coeff_phases": getattr(solver, "set_coeff_phases", None),
+        "roofline": roofline_summary(solver, matvec_s),
         "level_repr": {
             int(lv): ("factored" if isinstance(v, dict) else "dense")
             for lv, v in caches["m2l_E"].items()

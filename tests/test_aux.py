@@ -173,3 +173,45 @@ def test_cache_report_accounts_footprint():
     assert r3["m2l_E"] == r1["m2l_E"]
     assert r3["near_E"] == r1["near_E"]
     assert r3["mode_statics"] > r1["mode_statics"]
+
+
+def test_roofline_accounting():
+    """Roofline accounting (round-3 VERDICT item 6): bytes/FLOPs counts
+    follow the actual cache representation -- a factored level swaps its
+    dense read bytes for re-form FLOPs + transient traffic."""
+    from aniso_tpu import SolverConfig
+    from aniso_tpu.solver.operator import TransportSolver
+    from aniso_tpu.utils.roofline import matvec_costs, roofline_summary
+    import aniso_tpu.fmm.smooth as S
+
+    def build(cap):
+        saved = S._DENSE_E_LEVEL_CAP_BYTES
+        S._DENSE_E_LEVEL_CAP_BYTES = cap
+        try:
+            cfg = SolverConfig(
+                domain_size=16, quad_rule=2, kernel_size=1, g=0.5,
+                sing_rule=4, np_cheb=3, dtype="float32",
+            )
+            s = TransportSolver(cfg, backend="fmm")
+            g = s.grid
+            sig = np.full_like(g.nodes_x, 5.0)
+            s.set_coeff(sig, sig + 0.2)
+        finally:
+            S._DENSE_E_LEVEL_CAP_BYTES = saved
+        return s
+
+    dense = matvec_costs(build(2 * 1024 ** 3))
+    fact = matvec_costs(build(0))
+    assert "dense" in dense["level_repr"].values()
+    assert "factored" in fact["level_repr"].values()
+    # (at tiny grids the grid-size-independent W factor dominates the
+    # factored bytes, so no ordering assertion on min_hbm_bytes here;
+    # the representations must simply account differently)
+    assert dense["min_hbm_bytes"] != fact["min_hbm_bytes"]
+    assert fact["flops"] > dense["flops"]
+    assert fact["transient_hbm_bytes"] > 0 == dense["transient_hbm_bytes"]
+
+    summ = roofline_summary(build(2 * 1024 ** 3), 1e-3)
+    for k in ("achieved_gbps_min", "pct_hbm_peak", "achieved_tflops",
+              "pct_mxu_peak_f32_highest"):
+        assert summ[k] > 0, (k, summ)
