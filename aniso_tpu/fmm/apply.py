@@ -194,12 +194,25 @@ def _vlist_gather(M_l: jnp.ndarray):
     )
 
 
-# cap on the materialized fused-operator transient per parity class; rows
-# are processed in lax.map chunks beyond it (512^2 leaf E is 1.8 GB f32 /
-# 3.6 GB f64 per class -- unchunked it would double peak HBM).  256 MB:
+# cap on the materialized re-formed-E transient per parity class in the
+# FACTORED path; rows are processed in lax.map chunks beyond it.  256 MB:
 # XLA keeps ~3 such temps live inside a GMRES-loop matvec, and the 512^2
 # solve program budget is tight (measured 16.4 of 15.75 GB at 512 MB).
-_M2L_TRANSIENT_CAP_BYTES = 256 * 1024 * 1024
+#
+# DENSE levels are NEVER chunked (round-4 chip experiments, 256^2/512^2):
+# the dynamic_slice chunk consumption makes XLA layout assignment re-lay
+# every dense E argument into a full-size {1,2,0} program temp (9.9 GB of
+# copies at 512^2 -> compile OOM) AND runs 2x slower where it fits
+# (11.2 ms vs 5.8 ms at 256^2).  Consumed whole, the elementwise
+# exp(-E)*cosr producer reads the argument in its native layout (no
+# re-lay) and the per-class split bounds the fused-operator transient to
+# a quarter level.
+import os as _os_caps
+
+_M2L_TRANSIENT_CAP_BYTES = (
+    int(_os_caps.environ.get("ANISO_M2L_TRANSIENT_CAP_MB", 256))
+    * 1024 * 1024
+)
 
 # Optional Pallas translate kernels (fmm.pallas_m2l): factored levels
 # form and kill E inside VMEM; dense levels read each E tile exactly
@@ -214,13 +227,10 @@ import os as _os
 
 USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "0")
 
-# dense-level translate: dot_general (default) vs fused mul+reduce.  The
-# fused form reads E once in principle, but its broadcast-reduce makes
-# XLA's layout assignment prefer an m2-minor layout for the E parameter
-# -- a full-cache layout COPY (6.75 GB at the 512^2 leaf, compile-time
-# OOM; dump in results_scale.json) that the dot form does not trigger.
-# Measured identical at 256^2 (7.63 vs 7.67 ms), so dot is the default.
-M2L_DENSE_FUSED = _os.environ.get("ANISO_M2L_DENSE_FUSED", "0") == "1"
+# (the round-3 ANISO_M2L_DENSE_FUSED dense variant was retired in round
+# 4: both the dot_general and broadcast-reduce forms view E as
+# (..., r, ob) and force padded argument copies -- see the dense-path
+# note in _m2l_translate; the per-a slice form replaces both)
 
 
 def use_pallas_m2l() -> bool:
@@ -260,7 +270,26 @@ def _row_chunk(m2, P, itemsize, n_shards=1):
     return chunk
 
 
-def _m2l_translate(E_l, cosr_l, gsel, n_shards=1):
+def _loop_variant_zero(u):
+    """An exact 0 of u's dtype that XLA cannot prove loop-invariant.
+
+    Added to the E caches before exp/expm1 (and to factored patches
+    before the re-form matmul), it defeats loop-invariant code motion:
+    inside a GMRES while-loop or a chained scan, exp(-E) of the
+    loop-invariant cache is otherwise HOISTED and materialized -- a
+    second full-size padded copy of every dense level (measured 12.7 GB
+    of negate_exponential remat temps at 512^2 -> compile OOM).
+    Recomputing exp per apply costs ~1 elem/cycle/lane on the VPU's
+    transcendental unit -- ~2.7 ms per 2.6 G elements, a fraction of the
+    HBM stream it rides on.  The clip guards a hypothetical +-inf
+    iterate (0 * inf = NaN would poison the operator)."""
+    # static corner index, not reshape(-1)[0]: flattening a GSPMD-sharded
+    # field re-gathers it; the corner slice costs one scalar broadcast
+    anchor = jnp.clip(u[(0,) * u.ndim], -1.0, 1.0)
+    return jax.lax.optimization_barrier(anchor * 0.0)
+
+
+def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
     """Fused V-list translation at one level -> local expansions (m, m, r).
 
     E_l: dense (4, m2, m2, r*27*r) with pair axis (a, o, b) -- stacked
@@ -295,12 +324,16 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1):
             ]
             return _interleave_classes(outs, m2, r)
     else:
-        # E_l[c] is (m2, m2, P) for both the stacked array and the
-        # per-class tuple forms
+        # dense: E_l[c] is per-class 4D (m2, m2, r, 27r) (device storage,
+        # fmm.smooth.build_m2l_E_fine) or a stacked (4, m2, m2, P) flat-P
+        # array (coarse levels and the numpy host twin)
         E0 = E_l[0]
-        m2, P = E0.shape[0], E0.shape[-1]
+        m2 = E0.shape[0]
+        P = (E0.shape[2] * E0.shape[3]) if E0.ndim == 4 else E0.shape[-1]
         itemsize = E0.dtype.itemsize
-        if use_pallas_m2l() and E0.dtype == jnp.float32:
+        if use_pallas_m2l() and E0.dtype == jnp.float32 and E0.ndim == 3:
+            # (the opt-in Pallas dense kernel consumes the flat-P form
+            # only; per-class 4D storage takes the fused XLA path)
             from .pallas_m2l import m2l_translate_class_dense_pallas
 
             interpret = jax.default_backend() == "cpu"
@@ -314,36 +347,68 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1):
             return _interleave_classes(outs, m2, r)
     ob = gsel.shape[-1]
     r = P // ob
+
+    if not factored:
+        # DENSE: one fully-fused exp * cosr * gather multiply-reduce per
+        # class over the lane axis -- E is read in place, nothing else
+        # is materialized (the output is the (m2, m2, r) locals).
+        #
+        # Why storage must be 4D-at-rest (round-4 chip forensics): every
+        # flat-P formulation has to view E as (..., r, ob) at apply time,
+        # and ob = 27r (432 for np_cheb 4) is not 128-lane aligned, so
+        # that view can never be a bitcast -- XLA materializes padded
+        # COPIES of the whole operand (12 GB of program temps at 512^2,
+        # compile OOM), or per chunk runs them inside the loop (11.2 ms
+        # vs 5.8 ms at 256^2).  Per-a minor-axis slices avoid the view
+        # but their einsum form is a dot_general that cannot fuse its
+        # producers (64 x 113 MB stripe temps -> OOM) and their sliced
+        # offsets are themselves unaligned (per-stripe copies).  Stored
+        # (m2, m2, r, 27r), the lane padding is paid once at rest
+        # (+18.5% HBM) and the apply is copy-free.
+        #
+        # The reduce is an explicit jnp.sum, NOT an einsum: einsum
+        # lowers to dot_general, which cannot loop-fuse the elementwise
+        # producers.  Accuracy: VPU elementwise multiplies are full f32
+        # (the HIGHEST concern is bf16 MXU multiplies, which don't apply)
+        # and the 432-term f32 reduce error ~sqrt(432)*eps matches the
+        # dot form's f32 accumulator.
+        outs = []
+        for c in range(4):
+            E4 = E_l[c]
+            if E4.ndim == 3:      # stacked host-twin form: free view on CPU
+                E4 = E4.reshape(m2, m2, r, ob)
+            cos4 = cosr_l[c].reshape(r, ob)
+            # z: loop-variant zero, keeps exp un-hoisted (_loop_variant_zero)
+            op = jnp.exp(-(E4 + z)) * cos4 * gsel[c][:, :, None, :]
+            outs.append(jnp.sum(op, axis=-1))
+        return _interleave_classes(outs, m2, r)
+
+    # FACTORED: re-form E row chunks on the MXU, bounded by the transient
+    # cap (the re-formed chunk is a fresh temp, so its (rows, m2, r, ob)
+    # view is laid padded at birth -- no argument copies here).
     chunk = _row_chunk(m2, P, itemsize, n_shards)
 
     def one_chunk(c, Eb, gb):
         rows = Eb.shape[0]
-        if factored:
-            Eb = jnp.einsum("xyq,qp->xyp", Eb, W[c], precision=HIGHEST)
+        # + z keeps the patch @ W re-form and its exp loop-variant
+        # (otherwise LICM hoists the re-formed E -- the very tensor the
+        # factored representation exists not to store)
+        Eb = jnp.einsum("xyq,qp->xyp", Eb + z, W[c], precision=HIGHEST)
         op = (jnp.exp(-Eb) * cosr_l[c]).reshape(rows, m2, r, ob)
-        if M2L_DENSE_FUSED and not factored:
-            # elementwise product + multi-axis reduce: XLA loop-fuses the
-            # exp/cosr producers into the reduction, so E streams from
-            # HBM exactly once (the dot_general form materializes `op`
-            # as a transient, tripling the level's traffic)
-            return jnp.sum(op * gb[:, :, None, :], axis=-1)
         return jnp.einsum("xyaq,xyq->xya", op, gb, precision=HIGHEST)
 
-    src = patch if factored else E_l
     outs = []
     for c in range(4):
         if chunk == m2:
-            outs.append(one_chunk(c, src[c], gsel[c]))
+            outs.append(one_chunk(c, patch[c], gsel[c]))
         else:
             nb = m2 // chunk
             # scan over CHUNK INDICES and dynamic-slice the cache inside
             # the body: scanning over a reshaped view of the cache makes
             # XLA materialize it as a scan operand in the loop's layout
-            # (measured at 512^2: a 6.75 GB layout copy of the leaf E
-            # plus per-class 1.69 GB slice temps -- compile-time OOM)
             def one_idx(i, c=c):
                 Eb = jax.lax.dynamic_slice_in_dim(
-                    src[c], i * chunk, chunk, axis=0
+                    patch[c], i * chunk, chunk, axis=0
                 )
                 gb = jax.lax.dynamic_slice_in_dim(
                     gsel[c], i * chunk, chunk, axis=0
@@ -369,7 +434,7 @@ def _level_E(m2l_E, level, coeffs):
 
 
 def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None,
-               n_shards=1):
+               n_shards=1, z=0.0):
     """M2L + L2L sweep; one fused M2L and one L2L einsum per level."""
     m2m = static["m2m"]
     lo = coarsest_m2l_level()
@@ -377,7 +442,7 @@ def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None,
     for level in range(lo, leaf_level + 1):
         gsel = _vlist_gather(M[level])
         T = _m2l_translate(_level_E(m2l_E, level, coeffs),
-                           m2l_cosr[level], gsel, n_shards)
+                           m2l_cosr[level], gsel, n_shards, z)
         if L is None:
             L = T
         else:
@@ -405,12 +470,17 @@ def _patch_3x3(u: jnp.ndarray) -> jnp.ndarray:
 # representation; beyond it the apply streams row blocks.  The unchunked
 # f64 form at 512^2 needed a 5.7 GB temp that XLA remat-copied to 17.9 GB
 # -- a compile-time HBM overflow (measured round 3).
-_NEAR_VIRTUAL_CHUNK_CAP_BYTES = 256 * 1024 * 1024
+_NEAR_VIRTUAL_CHUNK_CAP_BYTES = (
+    int(_os_caps.environ.get("ANISO_NEAR_CHUNK_CAP_MB", 256))
+    * 1024 * 1024
+)
 
 
-def _near_block_contract(near_E, mode_static, u_patch):
+def _near_block_contract(near_E, mode_static, u_patch, z=0.0):
+    # + z: loop-variant zero so expm1 of the stored cache is recomputed
+    # per apply instead of LICM-hoisted (see _loop_variant_zero)
     block = (
-        jnp.expm1(-near_E) * mode_static["near_cosrw"][..., None, None]
+        jnp.expm1(-(near_E + z)) * mode_static["near_cosrw"][..., None, None]
         + mode_static["near_static"][..., None, None]
     )
     return jnp.einsum(
@@ -418,7 +488,7 @@ def _near_block_contract(near_E, mode_static, u_patch):
     )
 
 
-def _near_apply_chunked(caches, mode_static, u, rows, virtual):
+def _near_apply_chunked(caches, mode_static, u, rows, virtual, z=0.0):
     """Stream the near field in row blocks of `rows` target rows: each
     block's near-E slice is re-formed from the coefficient field
     (virtual; one halo row each side) or dynamic-sliced from the stored
@@ -450,7 +520,7 @@ def _near_apply_chunked(caches, mode_static, u, rows, virtual):
             )
         ub = jax.lax.dynamic_slice_in_dim(pad_u, i0, rows + 2, axis=0)
         up = _patch_3x3_padded(ub, nq)
-        return _near_block_contract(E, mode_static, up)
+        return _near_block_contract(E, mode_static, up, z)
 
     out = jax.lax.map(one, jnp.arange(nb))
     return out.reshape(sz, sz, nq)
@@ -469,7 +539,7 @@ def _patch_3x3_padded(u_pad: jnp.ndarray, q: int) -> jnp.ndarray:
 
 
 def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray,
-                n_shards: int = 1):
+                n_shards: int = 1, z=0.0):
     """U-list near field: fused smooth blocks + static correction stencil.
 
     block = expm1(-E_near) * cos(m theta)/r * w_src + static stencil; the
@@ -493,16 +563,16 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray,
             _NEAR_VIRTUAL_CHUNK_CAP_BYTES:
         rows //= 2
     if rows < sz:
-        out = _near_apply_chunked(caches, mode_static, u, rows, virtual)
+        out = _near_apply_chunked(caches, mode_static, u, rows, virtual, z)
     elif virtual:
         from .smooth import _near_E_einsum
 
         # near_W carries grid.dx already (solver.operator cache build)
         near_E = _near_E_einsum(caches["near_W"], caches["coeffs"])
-        out = _near_block_contract(near_E, mode_static, _patch_3x3(u))
+        out = _near_block_contract(near_E, mode_static, _patch_3x3(u), z)
     else:
         out = _near_block_contract(
-            caches["near_E"], mode_static, _patch_3x3(u)
+            caches["near_E"], mode_static, _patch_3x3(u), z
         )
     if mode == 0:
         out = out + caches["sigma_w"] * u
@@ -526,13 +596,14 @@ def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u,
     into one up sweep, one fused translation per level, and one U-list
     contraction.)
     """
+    z = _loop_variant_zero(u)
     M = _up_pass(static, leaf_level, u)
     L = _down_pass(
         static, leaf_level, M, caches["m2l_E"], mode_static["m2l_cosr"],
-        coeffs=caches.get("coeffs"), n_shards=n_shards,
+        coeffs=caches.get("coeffs"), n_shards=n_shards, z=z,
     )
     far = jnp.einsum("kc,ijc->ijk", static["l2t"], L, precision=HIGHEST)
-    near = _near_apply(caches, mode_static, mode, u, n_shards)
+    near = _near_apply(caches, mode_static, mode, u, n_shards, z)
     return (far + near) / (2.0 * jnp.pi)
 
 
@@ -546,6 +617,7 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u,
     pair; here all modes of one charge ride one compiled sweep).
     """
     D = len(mode_statics)
+    z = _loop_variant_zero(u)
     M = _up_pass(static, leaf_level, u)
     lo = coarsest_m2l_level()
     m2m = static["m2m"]
@@ -554,7 +626,7 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u,
         gsel = _vlist_gather(M[level])
         E_l = _level_E(caches["m2l_E"], level, caches.get("coeffs"))
         T = jnp.stack([
-            _m2l_translate(E_l, ms["m2l_cosr"][level], gsel, n_shards)
+            _m2l_translate(E_l, ms["m2l_cosr"][level], gsel, n_shards, z)
             for ms in mode_statics
         ])
         if L is None:
@@ -566,7 +638,7 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u,
             L = Lc.reshape(D, 2 * m2, 2 * m2, r) + T
     far = jnp.einsum("kc,dijc->dijk", static["l2t"], L, precision=HIGHEST)
     near = jnp.stack([
-        _near_apply(caches, ms, d, u, n_shards)
+        _near_apply(caches, ms, d, u, n_shards, z)
         for d, ms in enumerate(mode_statics)
     ])
     return (far + near) / (2.0 * jnp.pi)

@@ -275,13 +275,26 @@ def build_m2l_E_fine(
     (a trailing (27, r, r) would pad 8x and OOM at 128^2+).
     """
     B = tcfg.box_size_squares(level)
+    r = np_cheb * np_cheb
     W = _fine_W_device(grid, np_cheb, B, dtype)        # (4, Q, P), cell units
     patch = patch_for_level(coeffs.astype(dtype), level)
     dx = jnp.asarray(grid.dx, dtype=dtype)
-    return tuple(
-        jnp.einsum("xyq,qp->xyp", patch[c], W[c], precision=HIGHEST) * dx
-        for c in range(4)
-    )
+    # stored 4D (m2, m2, r, 27r) per class: the (a, o, b) pair axis split
+    # so the target-point dim a is its own (sublane) axis AT REST.  XLA
+    # pads the 27r lane dim to the 128 tile (432 -> 512 for np_cheb 4,
+    # +18.5% HBM) -- the price of tile alignment.  Every alternative
+    # measured worse on chip (round 4): flat-P forms must view E as
+    # (..., r, 27r) at apply time, and since 27r is NOT lane-aligned that
+    # view can never be a bitcast -- XLA materializes full padded COPIES
+    # of the operand (12 GB of temps -> compile OOM at 512^2), or, per
+    # chunk, runs them inside the loop (2x matvec).  Stored 4D, the fused
+    # translate reads the argument in place with zero copies.
+    out = []
+    for c in range(4):
+        E = jnp.einsum("xyq,qp->xyp", patch[c], W[c], precision=HIGHEST)
+        m2 = E.shape[0]
+        out.append((E * dx).reshape(m2, m2, r, E.shape[-1] // r))
+    return tuple(out)
 
 
 def build_near_E_np(grid: Grid, coeffs_np: np.ndarray) -> np.ndarray:
@@ -731,12 +744,14 @@ def build_m2l_E_coarse(
 # big leaf is the first to fall back to factored.
 import os as _os
 
-# per-level cap: XLA's layout assignment re-lays a consumed dense level
-# as a full-size program temp (measured: a 6.75 GB copy of the 512^2
-# leaf -> compile OOM; the 1.8 GB 256^2 leaf fits silently), so a single
-# dense level is capped at 2 GB and bigger levels go factored
+# per-ARRAY cap (one parity class of one fine level).  The round-3 2 GB
+# layout-copy threshold no longer binds: the 4D-at-rest storage is
+# consumed copy-free by a fully-fused multiply-reduce (no per-class
+# transient at all), so the cap's only remaining role is keeping a
+# single allocation comfortably inside HBM; 4 GB admits the padded
+# 512^2 leaf (2.15 GB/class) with room to spare
 _DENSE_E_LEVEL_CAP_BYTES = (
-    int(_os.environ.get("ANISO_DENSE_E_CAP_MB", 2 * 1024)) * 1024 * 1024
+    int(_os.environ.get("ANISO_DENSE_E_CAP_MB", 4 * 1024)) * 1024 * 1024
 )
 # default sized for the 16 GB v5e chip: 512^2 all-dense m2l E is 9.67 GB
 # (coarse 0.6 + B=2 1.8 + leaf 7.2), leaving ~4 GB for the near cache,
@@ -744,6 +759,19 @@ _DENSE_E_LEVEL_CAP_BYTES = (
 _DENSE_E_TOTAL_BUDGET_BYTES = (
     int(_os.environ.get("ANISO_E_BUDGET_MB", 11 * 1024)) * 1024 * 1024
 )
+
+
+def _roundup(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+def fine_dense_level_bytes(m2: int, np_cheb: int, itemsize: int) -> int:
+    """Real HBM footprint of one fine dense level stored per class in the
+    4D (m2, m2, r, 27r) form: the TPU (8, 128) tile pads the 27r lane dim
+    (432 -> 512 for np_cheb 4; +18.5%).  The budget and the cap both
+    count what the chip actually allocates."""
+    r = np_cheb * np_cheb
+    return 4 * m2 * m2 * _roundup(r, 8) * _roundup(27 * r, 128) * itemsize
 
 
 def coarse_m2l_levels(tcfg: TreeConfig) -> list:
@@ -846,11 +874,11 @@ def build_m2l_E(
     spent = 0
     for level in range(coarsest_m2l_level(), tcfg.leaf_level + 1):
         m2 = tcfg.boxes(level) // 2
-        dense_bytes = 4 * m2 * m2 * (r * 27 * r) * itemsize
         if tcfg.box_size_squares(level) <= 2:
-            # fine levels store per CLASS (4 separate arrays), so the
-            # layout-copy cap applies to dense_bytes / 4, not the level
-            # total -- the 7.25 GB 512^2 leaf is 4 x 1.81 GB blocked
+            # fine levels store per CLASS in the padded 4D form; both the
+            # per-array cap and the budget count the real (tile-padded)
+            # HBM bytes -- the 512^2 leaf is 4 x 2.15 GB blocked
+            dense_bytes = fine_dense_level_bytes(m2, np_cheb, itemsize)
             if dense_bytes // 4 > dense_cap_bytes or \
                spent + dense_bytes > budget_bytes:
                 log.info(
@@ -869,7 +897,9 @@ def build_m2l_E(
                     grid, tcfg, level, np_cheb, coeffs, dtype
                 )
         else:
-            spent += dense_bytes   # coarse levels are always dense
+            # coarse levels are always dense, stored stacked flat-P
+            # (P = r*27r is lane-aligned: no padding)
+            spent += 4 * m2 * m2 * (r * 27 * r) * itemsize
             cache[level] = build_m2l_E_coarse(
                 grid, tcfg, level, np_cheb, coeffs, dtype,
                 coeffs_np=coeffs_np,
@@ -907,7 +937,16 @@ def m2l_cache_bytes(cache: dict) -> int:
     footprint accounting; the reference prints the analogous per-mode cache
     report in Aniso.cpp:19-47 -- ours is mode-count independent).
     Factored levels count their (patch, W) factors; per-class dense
-    levels (tuples) count every class block."""
+    levels (tuples, 4D) count every class block at its TILED footprint
+    (the 27r lane dim pads to 128 on TPU -- fine_dense_level_bytes)."""
+
+    def nbytes(a):
+        if a.ndim == 4:       # per-class 4D dense block
+            s = a.shape
+            return (s[0] * s[1] * _roundup(s[2], 8)
+                    * _roundup(s[3], 128) * a.dtype.itemsize)
+        return int(np.prod(a.shape)) * a.dtype.itemsize
+
     total = 0
     for v in cache.values():
         if isinstance(v, dict):
@@ -916,5 +955,5 @@ def m2l_cache_bytes(cache: dict) -> int:
             leaves = v
         else:
             leaves = (v,)
-        total += sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in leaves)
+        total += sum(nbytes(a) for a in leaves)
     return total

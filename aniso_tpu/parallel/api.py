@@ -88,18 +88,20 @@ def shard_pytree(mesh: Mesh, tree):
         root = keys[0] if keys else ""
         leaf = keys[-1] if keys else ""
         if root == "m2l_E":
+            # per-class dense block of a fine level: a TUPLE member
+            # (SequenceKey leaf "[c]"), stored 4D (m2, m2, r, 27r)
+            # (fmm.smooth.build_m2l_E_fine) -- spatial dims 0, 1
+            if leaf.startswith("[") and _divisible(x.shape, mesh, 0, 1):
+                spec = P("x", "y", *([None] * (x.ndim - 2)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
             # stacked dense level (4, m2, m2, P) or factored 'patch'
-            # (4, m2, m2, Q)
-            sharded_member = x.ndim == 4 and leaf != "W"
+            # (4, m2, m2, Q) -- spatial dims 1, 2
+            sharded_member = (
+                x.ndim == 4 and leaf != "W" and not leaf.startswith("[")
+            )
             if sharded_member and _divisible(x.shape, mesh, 1, 2):
                 return jax.device_put(
                     x, NamedSharding(mesh, P(None, "x", "y"))
-                )
-            # per-class dense block (m2, m2, P) of a fine level (tuple
-            # members, fmm.smooth.build_m2l_E_fine)
-            if x.ndim == 3 and leaf != "W" and _divisible(x.shape, mesh, 0, 1):
-                return jax.device_put(
-                    x, NamedSharding(mesh, P("x", "y", None))
                 )
             # 'W' factors (4, Q, P) and coarse levels too small to split
             return replicate(mesh, x)

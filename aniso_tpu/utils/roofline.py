@@ -34,6 +34,20 @@ def _nbytes(a) -> int:
     return int(np.prod(a.shape)) * a.dtype.itemsize
 
 
+def _roundup(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
+def _nbytes_tiled(a) -> int:
+    """Real HBM bytes of a 4D per-class dense block under the TPU (8,128)
+    tile: the 27r lane dim pads 432 -> 512 (what the matvec streams)."""
+    if a.ndim != 4:
+        return _nbytes(a)
+    s = a.shape
+    return (int(np.prod(s[:-2])) * _roundup(s[-2], 8)
+            * _roundup(s[-1], 128) * a.dtype.itemsize)
+
+
 def matvec_costs(solver) -> dict:
     """Per corrected single-mode matvec: minimum HBM bytes + FLOPs.
 
@@ -73,7 +87,7 @@ def matvec_costs(solver) -> dict:
             detail[f"m2l_level_{lv}"] = "factored"
         else:                                # dense: tuple or stacked
             blocks = E_l if isinstance(E_l, (list, tuple)) else (E_l,)
-            lvl_bytes = sum(_nbytes(b) for b in blocks)
+            lvl_bytes = sum(_nbytes_tiled(b) for b in blocks)
             bytes_read += lvl_bytes
             detail[f"m2l_level_{lv}"] = "dense"
         # fused operator exp(-E)*cosr (~3 VPU ops/element) + the batched

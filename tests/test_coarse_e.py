@@ -128,10 +128,14 @@ def test_dense_budget_allocates_coarsest_first(monkeypatch, rng):
     assert set(full.values()) == {"dense"}
 
     r = 9
-    lvl_bytes = {
-        lv: 4 * (tcfg.boxes(lv) // 2) ** 2 * (r * 27 * r) * 4
-        for lv in range(2, tcfg.leaf_level + 1)
-    }
+    lvl_bytes = {}
+    for lv in range(2, tcfg.leaf_level + 1):
+        m2 = tcfg.boxes(lv) // 2
+        if tcfg.box_size_squares(lv) <= 2:
+            # fine levels budget at their tile-padded 4D footprint
+            lvl_bytes[lv] = smooth.fine_dense_level_bytes(m2, 3, 4)
+        else:
+            lvl_bytes[lv] = 4 * m2 * m2 * (r * 27 * r) * 4
     coarse = sum(b for lv, b in lvl_bytes.items()
                  if tcfg.box_size_squares(lv) > 2)
     # enough for everything but the leaf
