@@ -293,8 +293,55 @@ def build_m2l_E_fine(
     for c in range(4):
         E = jnp.einsum("xyq,qp->xyp", patch[c], W[c], precision=HIGHEST)
         m2 = E.shape[0]
-        out.append((E * dx).reshape(m2, m2, r, E.shape[-1] // r))
+        out.append(
+            _pin_padded_layout((E * dx).reshape(m2, m2, r, E.shape[-1] // r))
+        )
     return tuple(out)
+
+
+# blocks above this pin the padded row-major layout at rest (below it the
+# compact creation layout is kept: a worst-case in-program re-lay of a
+# small block is affordable).  256 MB: at 512^2 both fine levels pin
+# (leaf 1.69 GB/class, B=2 432 MB/class) -- leaving B=2 compact risked
+# ~2 GB of nondeterministic in-program padded copies on a config that
+# already runs within ~1 GB of the HBM ceiling
+import os as _os_pin
+
+_DENSE_PIN_LAYOUT_MIN_BYTES = (
+    int(_os_pin.environ.get("ANISO_DENSE_PIN_MB", 256)) * 1024 * 1024
+)
+
+
+def _pin_padded_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """Pin a large 4D dense block to the padded row-major (0,1,2,3)
+    layout at rest.
+
+    XLA's eager creation picks a COMPACT layout for big (m2, m2, r, 27r)
+    outputs (measured: major_to_minor (0, 2, 3, 1), y minor -- avoids the
+    27r lane padding).  Whether layout assignment then consumes such an
+    argument in place (fused reduce, fast) or re-lays it into a full-size
+    padded program temp is a nondeterministic compile-time choice: the
+    SAME 512^2 program compiled clean in a fresh process (25.9 ms) and
+    OOM'd with 11.4 GB of argument copies in another.  Pinning the
+    row-major layout at build (one transient device copy per set_coeff)
+    makes the argument match the consumer's preferred layout, so the
+    compile is deterministic; it costs the 27r->512 lane padding
+    (+18.5% HBM at rest and per-matvec stream), which the budget already
+    counts (fine_dense_level_bytes)."""
+    if x.size * x.dtype.itemsize < _DENSE_PIN_LAYOUT_MIN_BYTES:
+        return x
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        dev = list(x.devices())[0]
+        fmt = Format(
+            Layout(major_to_minor=tuple(range(x.ndim))),
+            SingleDeviceSharding(dev),
+        )
+        return jax.device_put(x, fmt)
+    except Exception:   # CPU backend / API drift: keep the native layout
+        return x
 
 
 def build_near_E_np(grid: Grid, coeffs_np: np.ndarray) -> np.ndarray:
