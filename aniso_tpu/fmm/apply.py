@@ -324,12 +324,17 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
             ]
             return _interleave_classes(outs, m2, r)
     else:
-        # dense: E_l[c] is per-class 4D (m2, m2, r, 27r) (device storage,
-        # fmm.smooth.build_m2l_E_fine) or a stacked (4, m2, m2, P) flat-P
-        # array (coarse levels and the numpy host twin)
+        # dense: E_l[c] is per-class 4D -- y-minor (m2, r, 27r, m2) for
+        # lane-aligned m2, row-major (m2, m2, r, 27r) otherwise
+        # (fmm.smooth.build_m2l_E_fine) -- or a stacked (4, m2, m2, P)
+        # flat-P array (coarse levels and the numpy host twin)
         E0 = E_l[0]
         m2 = E0.shape[0]
-        P = (E0.shape[2] * E0.shape[3]) if E0.ndim == 4 else E0.shape[-1]
+        P = (E0.shape[1] * E0.shape[2]) if (
+            E0.ndim == 4 and E0.shape[-1] == E0.shape[0]
+        ) else (
+            (E0.shape[2] * E0.shape[3]) if E0.ndim == 4 else E0.shape[-1]
+        )
         itemsize = E0.dtype.itemsize
         if use_pallas_m2l() and E0.dtype == jnp.float32 and E0.ndim == 3:
             # (the opt-in Pallas dense kernel consumes the flat-P form
@@ -375,10 +380,18 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
         outs = []
         for c in range(4):
             E4 = E_l[c]
+            cos4 = cosr_l[c].reshape(r, ob)
+            if E4.ndim == 4 and E4.shape[-1] == E4.shape[0]:
+                # y-minor orientation (m2, r, ob, m2): reduce over ob
+                # (dim 2); gather stack transposed to (m2, ob, m2).
+                # z: loop-variant zero keeps exp un-hoisted
+                gt = jnp.transpose(gsel[c], (0, 2, 1))
+                op = jnp.exp(-(E4 + z)) * cos4[None, :, :, None] \
+                    * gt[:, None, :, :]
+                outs.append(jnp.transpose(jnp.sum(op, axis=2), (0, 2, 1)))
+                continue
             if E4.ndim == 3:      # stacked host-twin form: free view on CPU
                 E4 = E4.reshape(m2, m2, r, ob)
-            cos4 = cosr_l[c].reshape(r, ob)
-            # z: loop-variant zero, keeps exp un-hoisted (_loop_variant_zero)
             op = jnp.exp(-(E4 + z)) * cos4 * gsel[c][:, :, None, :]
             outs.append(jnp.sum(op, axis=-1))
         return _interleave_classes(outs, m2, r)

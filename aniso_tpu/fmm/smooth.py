@@ -293,55 +293,24 @@ def build_m2l_E_fine(
     for c in range(4):
         E = jnp.einsum("xyq,qp->xyp", patch[c], W[c], precision=HIGHEST)
         m2 = E.shape[0]
-        out.append(
-            _pin_padded_layout((E * dx).reshape(m2, m2, r, E.shape[-1] // r))
-        )
+        ob = E.shape[-1] // r
+        E4 = (E * dx).reshape(m2, m2, r, ob)
+        if m2 % _DENSE_LANE_ALIGN == 0:
+            # y-MINOR orientation (m2, r, 27r, m2): its default row-major
+            # layout is byte-identical to the compact layout XLA would
+            # pick anyway (27r sublanes, m2 lanes, ZERO padding), so
+            # layout assignment has no better layout to copy into --
+            # the 512^2 compile is deterministic where every (…, r, 27r)
+            # minor orientation was a coin flip between in-place fusion
+            # and 12 GB of padded argument copies (round-4 chip
+            # forensics; the remote compile helper is not deterministic
+            # across processes).  Requires m2 lane-aligned.
+            E4 = jnp.transpose(E4, (0, 2, 3, 1))
+        # else: row-major (m2, m2, r, 27r); the 27r lane dim pads to 512
+        # (+18.5%) and a worst-case in-program re-lay of such a small
+        # block is affordable
+        out.append(E4)
     return tuple(out)
-
-
-# blocks above this pin the padded row-major layout at rest (below it the
-# compact creation layout is kept: a worst-case in-program re-lay of a
-# small block is affordable).  256 MB: at 512^2 both fine levels pin
-# (leaf 1.69 GB/class, B=2 432 MB/class) -- leaving B=2 compact risked
-# ~2 GB of nondeterministic in-program padded copies on a config that
-# already runs within ~1 GB of the HBM ceiling
-import os as _os_pin
-
-_DENSE_PIN_LAYOUT_MIN_BYTES = (
-    int(_os_pin.environ.get("ANISO_DENSE_PIN_MB", 256)) * 1024 * 1024
-)
-
-
-def _pin_padded_layout(x: jnp.ndarray) -> jnp.ndarray:
-    """Pin a large 4D dense block to the padded row-major (0,1,2,3)
-    layout at rest.
-
-    XLA's eager creation picks a COMPACT layout for big (m2, m2, r, 27r)
-    outputs (measured: major_to_minor (0, 2, 3, 1), y minor -- avoids the
-    27r lane padding).  Whether layout assignment then consumes such an
-    argument in place (fused reduce, fast) or re-lays it into a full-size
-    padded program temp is a nondeterministic compile-time choice: the
-    SAME 512^2 program compiled clean in a fresh process (25.9 ms) and
-    OOM'd with 11.4 GB of argument copies in another.  Pinning the
-    row-major layout at build (one transient device copy per set_coeff)
-    makes the argument match the consumer's preferred layout, so the
-    compile is deterministic; it costs the 27r->512 lane padding
-    (+18.5% HBM at rest and per-matvec stream), which the budget already
-    counts (fine_dense_level_bytes)."""
-    if x.size * x.dtype.itemsize < _DENSE_PIN_LAYOUT_MIN_BYTES:
-        return x
-    try:
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
-
-        dev = list(x.devices())[0]
-        fmt = Format(
-            Layout(major_to_minor=tuple(range(x.ndim))),
-            SingleDeviceSharding(dev),
-        )
-        return jax.device_put(x, fmt)
-    except Exception:   # CPU backend / API drift: keep the native layout
-        return x
 
 
 def build_near_E_np(grid: Grid, coeffs_np: np.ndarray) -> np.ndarray:
@@ -808,16 +777,27 @@ _DENSE_E_TOTAL_BUDGET_BYTES = (
 )
 
 
+# TPU lane tile: a fine dense level whose m2 is a multiple of this uses
+# the y-minor orientation (tests shrink it to exercise that path on the
+# 8-lane-irrelevant CPU backend)
+_DENSE_LANE_ALIGN = 128
+
+
 def _roundup(n: int, q: int) -> int:
     return -(-n // q) * q
 
 
 def fine_dense_level_bytes(m2: int, np_cheb: int, itemsize: int) -> int:
-    """Real HBM footprint of one fine dense level stored per class in the
-    4D (m2, m2, r, 27r) form: the TPU (8, 128) tile pads the 27r lane dim
-    (432 -> 512 for np_cheb 4; +18.5%).  The budget and the cap both
-    count what the chip actually allocates."""
+    """Real HBM footprint of one fine dense level stored per class.
+
+    m2 lane-aligned (>= 128): the y-minor (m2, r, 27r, m2) orientation,
+    ZERO padding.  Smaller levels: the row-major (m2, m2, r, 27r)
+    orientation, whose 27r lane dim pads to the 128 tile (432 -> 512
+    for np_cheb 4; +18.5%).  The budget and the cap count what the chip
+    actually allocates (build_m2l_E_fine chooses the same way)."""
     r = np_cheb * np_cheb
+    if m2 % _DENSE_LANE_ALIGN == 0:
+        return 4 * m2 * m2 * r * (27 * r) * itemsize
     return 4 * m2 * m2 * _roundup(r, 8) * _roundup(27 * r, 128) * itemsize
 
 

@@ -88,12 +88,20 @@ def shard_pytree(mesh: Mesh, tree):
         root = keys[0] if keys else ""
         leaf = keys[-1] if keys else ""
         if root == "m2l_E":
-            # per-class dense block of a fine level: a TUPLE member
-            # (SequenceKey leaf "[c]"), stored 4D (m2, m2, r, 27r)
-            # (fmm.smooth.build_m2l_E_fine) -- spatial dims 0, 1
-            if leaf.startswith("[") and _divisible(x.shape, mesh, 0, 1):
-                spec = P("x", "y", *([None] * (x.ndim - 2)))
-                return jax.device_put(x, NamedSharding(mesh, spec))
+            # per-class dense block of a fine level (TUPLE member, leaf
+            # "[c]"): y-minor (m2, r, 27r, m2) -> spatial dims 0, 3;
+            # row-major (m2, m2, r, 27r) -> spatial dims 0, 1
+            # (fmm.smooth.build_m2l_E_fine)
+            if leaf.startswith("["):
+                if x.ndim == 4 and x.shape[-1] == x.shape[0]:
+                    if _divisible(x.shape, mesh, 0, 3):
+                        return jax.device_put(
+                            x, NamedSharding(mesh, P("x", None, None, "y"))
+                        )
+                elif _divisible(x.shape, mesh, 0, 1):
+                    spec = P("x", "y", *([None] * (x.ndim - 2)))
+                    return jax.device_put(x, NamedSharding(mesh, spec))
+                return replicate(mesh, x)
             # stacked dense level (4, m2, m2, P) or factored 'patch'
             # (4, m2, m2, Q) -- spatial dims 1, 2
             sharded_member = (
