@@ -29,10 +29,18 @@ kernels correct on hardware (<= 7e-8 vs XLA) but SLOWER than the XLA
 paths at the measured sizes (256^2 all-dense: ~31 ms vs 7.6 ms XLA;
 factored: ~parity) -- XLA's transient traffic is cheaper than this
 kernel's per-grid-step overheads there, so fmm.apply defaults
-ANISO_PALLAS_M2L to '0' (XLA).  Enable with ANISO_PALLAS_M2L=1, or
-'auto' (Pallas on non-CPU backends); f64 always runs XLA.  Reference
-counterpart: the M2L half of downPassFast (bbfmm.h:1041-1129) -- per-node
-dgemv from a per-node cache.
+ANISO_PALLAS_M2L to '0' (XLA).  Round-4 follow-up at the 512^2 factored
+leaf (the config where the kernel's motivation was strongest): Mosaic
+FAILS to compile the factored kernel at those shapes ("failed to
+legalize operation 'func.return'", m2 = 256 grid;
+benchmarks/results_pallas_512.json), while the XLA factored path runs
+117.4 ms/apply -- and the round-4 dense redesign (4D y-minor storage +
+fused multiply-reduce, fmm.apply) removed the transient traffic this
+kernel was written to avoid, so the production answer at every measured
+size is XLA.  Enable with ANISO_PALLAS_M2L=1, or 'auto' (Pallas on
+non-CPU backends); f64 always runs XLA.  Reference counterpart: the M2L
+half of downPassFast (bbfmm.h:1041-1129) -- per-node dgemv from a
+per-node cache.
 """
 
 from __future__ import annotations
