@@ -22,10 +22,13 @@ Legendre coefficient field:
     are built once per (deg, np_cheb, B) in numpy (sub-second, lru-cached,
     grid-size independent) and the per-sigma einsum runs on device --
     one compiled program per (B, grid) shape shared by all 4 parity classes;
-  * coarse M2L levels (B >= 4): few boxes, long segments -- per-pair exact
-    line integrals on the host via the native OpenMP engine
-    (csrc/aniso_host.cpp), JAX fallback otherwise; the chosen path is
-    logged (VERDICT weak item 8).
+  * coarse M2L levels (B >= 4): per-offset restructured contractions run
+    ON DEVICE in f64 (build_m2l_E_coarse_device; sigma-independent weight
+    blocks lru-cached on the host, deduped across parity classes); the
+    very coarse levels with a handful of boxes use per-pair exact line
+    integrals on the host native OpenMP engine (csrc/aniso_host.cpp; JAX
+    fallback), overlapping the async device dispatch.  The chosen paths
+    are logged.
 
 Reference counterpart for all of this: the four cache passes
 KernelFactory.cpp:279-334 (runKernelsCache/CacheSing) and :550-788
@@ -874,11 +877,12 @@ def build_m2l_E(
     dtype=jnp.float32, coeffs_np=None, dense_cap_bytes=None,
     coarse_np=None, store_patch: bool = True, budget_bytes=None,
 ) -> dict:
-    """Full per-level M2L E cache: dict level -> (4, m2, m2, r*27*r) dense,
-    or the factored {'patch', 'W'} form when dense would blow the
-    per-level cap or the cumulative total budget (512^2 leaf dense E
-    alone is 7.2 GB f32; allocation is coarsest-first so the leaf falls
-    back first).
+    """Full per-level M2L E cache: coarse levels as stacked
+    (4, m2, m2, r*27*r) dense tensors, fine levels as per-class 4D dense
+    tuples (build_m2l_E_fine), or the factored {'patch', 'W'} form when
+    dense would blow the per-array cap or the cumulative total budget
+    (the 512^2 leaf alone is 7.25 GB f32; allocation is coarsest-first
+    so the cheap-to-recompute leaf falls back first).
 
     Mode-independent; serves every Fourier kernel (cf. the reference's
     per-mode cache passes, AnisoWrapper.cpp:72-90).
