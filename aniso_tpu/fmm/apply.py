@@ -447,15 +447,25 @@ def _level_E(m2l_E, level, coeffs):
 
 
 def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None,
-               n_shards=1, z=0.0):
-    """M2L + L2L sweep; one fused M2L and one L2L einsum per level."""
+               n_shards=1, z=0.0, translate_fn=None):
+    """M2L + L2L sweep; one fused M2L and one L2L einsum per level.
+
+    translate_fn: optional hand-scheduled override (parallel.halo's
+    shard_map + ppermute variant): called (level, E_l, cosr_l, M_l, z)
+    and may return None to fall back to the GSPMD path at that level.
+    """
     m2m = static["m2m"]
     lo = coarsest_m2l_level()
     L = None
     for level in range(lo, leaf_level + 1):
-        gsel = _vlist_gather(M[level])
-        T = _m2l_translate(_level_E(m2l_E, level, coeffs),
-                           m2l_cosr[level], gsel, n_shards, z)
+        T = None
+        if translate_fn is not None:
+            T = translate_fn(level, _level_E(m2l_E, level, coeffs),
+                             m2l_cosr[level], M[level], z)
+        if T is None:
+            gsel = _vlist_gather(M[level])
+            T = _m2l_translate(_level_E(m2l_E, level, coeffs),
+                               m2l_cosr[level], gsel, n_shards, z)
         if L is None:
             L = T
         else:
@@ -597,7 +607,7 @@ def _near_apply(caches, mode_static, mode: int, u: jnp.ndarray,
 
 
 def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u,
-                   n_shards: int = 1):
+                   n_shards: int = 1, translate_fn=None, near_fn=None):
     """Corrected mode matvec K_m u including the 1/2pi scaling.
 
     caches: {'near_E', 'm2l_E', 'sigma_w'[, 'duffy']} from
@@ -605,6 +615,9 @@ def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u,
     mode_static: per-mode static tables from build_mode_static.
     n_shards: mesh device count when the caches/field are sharded (the
     transient-cap chunking then applies per shard, see _row_chunk).
+    translate_fn / near_fn: optional hand-scheduled shard_map + ppermute
+    overrides (parallel.halo, wired by parallel.api.sharded_solver with
+    halo='shardmap'); either may return None to fall back to GSPMD.
     (The reference's six-pass corrected matvec, main.cpp:78-119, collapsed
     into one up sweep, one fused translation per level, and one U-list
     contraction.)
@@ -614,9 +627,12 @@ def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u,
     L = _down_pass(
         static, leaf_level, M, caches["m2l_E"], mode_static["m2l_cosr"],
         coeffs=caches.get("coeffs"), n_shards=n_shards, z=z,
+        translate_fn=translate_fn,
     )
     far = jnp.einsum("kc,ijc->ijk", static["l2t"], L, precision=HIGHEST)
-    near = _near_apply(caches, mode_static, mode, u, n_shards, z)
+    near = near_fn(caches, mode_static, mode, u, z) if near_fn else None
+    if near is None:
+        near = _near_apply(caches, mode_static, mode, u, n_shards, z)
     return (far + near) / (2.0 * jnp.pi)
 
 

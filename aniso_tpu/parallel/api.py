@@ -137,12 +137,23 @@ def shard_pytree(mesh: Mesh, tree):
 shard_mode_data = shard_pytree
 
 
-def sharded_solver(solver, mesh: Mesh):
+def sharded_solver(solver, mesh: Mesh, halo: str = "gspmd"):
     """Wrap a TransportSolver (fmm backend) for mesh execution.
 
     Returns (apply_fn, caches, mode_statics) where apply_fn(caches, ms, u)
     is the jitted corrected mode-m matvec (m = the python index of ms in
     mode_statics) with sharded in/out.
+
+    halo='gspmd' (default, production): XLA GSPMD chooses and schedules
+    every collective; the O(halo) traffic is gated by
+    tests/test_collectives.py.  halo='shardmap': the near-field 3x3 halo
+    AND the fine-level M2L parity-plane exchange run as explicit
+    `ppermute`s inside shard_map (parallel.halo) -- the communication
+    pattern is pinned independent of compiler heuristics, as the staging
+    ground for compute/communication overlap on real ICI.  Levels or
+    tensors the hand path cannot take (factored/virtual levels, coarse
+    replicated levels, non-divisible shapes) fall back to GSPMD per
+    level, so both modes are always correct.
     """
     from ..fmm.apply import fmm_apply_mode
 
@@ -158,10 +169,55 @@ def sharded_solver(solver, mesh: Mesh):
 
     import functools
 
+    translate_fn = near_fn = None
+    if halo == "shardmap":
+        from .halo import (
+            make_fine_translate_shardmap, make_near_apply_shardmap,
+        )
+
+        mx, my = mesh.shape["x"], mesh.shape["y"]
+        tr_fns = {
+            ym: make_fine_translate_shardmap(mesh, ym) for ym in (True, False)
+        }
+        near_fns = [
+            make_near_apply_shardmap(mesh, m, ms.get("duffy") is not None)
+            for m, ms in enumerate(solver._mode_statics)
+        ]
+
+        def translate_fn(level, E_l, cosr_l, M_l, z):
+            # hand path takes fine DENSE per-class levels whose box plane
+            # divides the mesh; everything else falls back to GSPMD
+            if not isinstance(E_l, tuple):
+                return None
+            m2 = E_l[0].shape[0]
+            m = M_l.shape[0]
+            if m % (2 * mx) or M_l.shape[1] % (2 * my) or m2 % mx:
+                return None
+            y_minor = E_l[0].ndim == 4 and E_l[0].shape[-1] == m2
+            if y_minor and m2 % my:
+                return None
+            if not y_minor and E_l[0].shape[1] % my:
+                return None
+            return tr_fns[y_minor](E_l, cosr_l, M_l, z)
+
+        def near_fn(cch, ms, mode, u, z):
+            if "near_E" not in cch:
+                return None              # virtual near: GSPMD path
+            sz = u.shape[0]
+            if sz % mx or u.shape[1] % my:
+                return None
+            return near_fns[mode](
+                cch["near_E"], ms["near_cosrw"], ms["near_static"],
+                cch["sigma_w"], ms.get("duffy"), u, z,
+            )
+    elif halo != "gspmd":
+        raise ValueError(f"unknown halo mode {halo!r}")
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def apply_fn(cch, ms, mode, u):
         out = fmm_apply_mode(leaf, static, cch, ms, mode, u,
-                             n_shards=n_shards)
+                             n_shards=n_shards, translate_fn=translate_fn,
+                             near_fn=near_fn)
         return jax.lax.with_sharding_constraint(out, fspec)
 
     return apply_fn, caches, mode_statics

@@ -56,18 +56,22 @@ def _patch_3x3_local(ue: jnp.ndarray) -> jnp.ndarray:
 def make_near_apply_shardmap(mesh: Mesh, mode: int, has_duffy: bool):
     """Build the shard_map near-field matvec for one mode.
 
-    Returns f(near_E, near_cosrw, near_static, sigma_w, duffy_or_None, u)
+    Returns f(near_E, near_cosrw, near_static, sigma_w, duffy_or_None, u, z)
     with the same semantics as fmm.apply._near_apply, inputs sharded as by
-    parallel.api.shard_pytree and u sharded P("x", "y").
+    parallel.api.shard_pytree and u sharded P("x", "y").  z is the
+    loop-variant zero anchor (fmm.apply._loop_variant_zero): shard_map
+    bodies inline into the surrounding jitted program, so without it LICM
+    would hoist expm1(-near_E) out of a GMRES while-loop and materialize a
+    second full-size copy of the cache.
     """
     mx, my = mesh.shape["x"], mesh.shape["y"]
     HP = lax.Precision.HIGHEST
 
-    def local(near_E, ncos, nstat, sigma_w, duffy, u):
+    def local(near_E, ncos, nstat, sigma_w, duffy, u, z):
         ue = halo_exchange_1(u, "x", mx, 0)
         ue = halo_exchange_1(ue, "y", my, 1)
         block = (
-            jnp.expm1(-near_E) * ncos[..., None, None]
+            jnp.expm1(-(near_E + z)) * ncos[..., None, None]
             + nstat[..., None, None]
         )
         out = jnp.einsum(
@@ -89,9 +93,92 @@ def make_near_apply_shardmap(mesh: Mesh, mode: int, has_duffy: bool):
             P("x", "y"),                           # sigma_w
             duffy_spec,                            # duffy (or None)
             P("x", "y"),                           # u
+            P(),                                   # loop-variant zero
         ),
         out_specs=P("x", "y"),
     )
     if not has_duffy:
-        return lambda nE, nc, ns, sw, _d, u: f(nE, nc, ns, sw, None, u)
+        return lambda nE, nc, ns, sw, _d, u, z=0.0: f(nE, nc, ns, sw, None,
+                                                      u, z)
     return f
+
+
+def make_fine_translate_shardmap(mesh: Mesh, y_minor: bool):
+    """Hand-scheduled M2L at one fine DENSE level: the parity-plane V-list
+    halo exchange as explicit `ppermute`s inside shard_map, then the same
+    fused exp(-E) * cos/r multiply-reduce as fmm.apply._m2l_translate on
+    the local blocks.
+
+    This pins the M2L communication pattern (4 parity planes x 2 axes x 2
+    directions of one-box slabs -- the designed O(halo) traffic) completely
+    independent of GSPMD heuristics, and is the staging ground for
+    overlapping the exchange with interior compute on real ICI (issue the
+    ppermutes, translate the interior boxes, then the halo-dependent ring).
+
+    Returns f(E4_tuple, cosr_l, M_l, z) -> T (m, m, r) sharded P("x","y"):
+      E4_tuple: 4 per-class dense blocks -- y-minor (m2, r, 27r, m2)
+        sharded P("x", None, None, "y") or row-major (m2, m2, r, 27r)
+        sharded P("x", "y", None, None) (fmm.smooth.build_m2l_E_fine);
+      cosr_l: (4, r*27*r) replicated; M_l: (m, m, r) sharded P("x","y").
+
+    The local interleave of the 4 class blocks reproduces exactly the
+    local shard of the global interleave: global T[2X+px, 2Y+py] =
+    out_c[X, Y] and both sides block-partition contiguously.
+    """
+    from ..fmm.apply import parity_shift_table_np
+
+    mx, my = mesh.shape["x"], mesh.shape["y"]
+    HP = lax.Precision.HIGHEST
+    tab = parity_shift_table_np()
+
+    def local(E4s, cosr, Ml, z):
+        lmx, lmy, r = Ml.shape
+        l2x, l2y = lmx // 2, lmy // 2
+        ob = cosr.shape[-1] // r             # 27r
+        P4 = Ml.reshape(l2x, 2, l2y, 2, r)
+        shifted = [[None] * 2 for _ in range(2)]
+        for gx in (0, 1):
+            for gy in (0, 1):
+                ext = halo_exchange_1(P4[:, gx, :, gy], "x", mx, 0)
+                ext = halo_exchange_1(ext, "y", my, 1)
+                shifted[gx][gy] = [
+                    [ext[a : a + l2x, b : b + l2y] for b in range(3)]
+                    for a in range(3)
+                ]
+        outs = []
+        for c in range(4):
+            gsel = jnp.stack(
+                [
+                    shifted[tab[c, o, 0]][tab[c, o, 1]][tab[c, o, 2]][
+                        tab[c, o, 3]
+                    ]
+                    for o in range(27)
+                ],
+                axis=2,
+            ).reshape(l2x, l2y, 27 * r)
+            E4 = E4s[c]
+            cos4 = cosr[c].reshape(r, ob)
+            if y_minor:
+                gt = jnp.transpose(gsel, (0, 2, 1))
+                op = jnp.exp(-(E4 + z)) * cos4[None, :, :, None] \
+                    * gt[:, None, :, :]
+                outs.append(jnp.transpose(jnp.sum(op, axis=2), (0, 2, 1)))
+            else:
+                op = jnp.exp(-(E4 + z)) * cos4 * gsel[:, :, None, :]
+                outs.append(jnp.sum(op, axis=-1))
+        return (
+            jnp.stack(outs)
+            .reshape(2, 2, l2x, l2y, r)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(2 * l2x, 2 * l2y, r)
+        )
+
+    E_spec = (
+        P("x", None, None, "y") if y_minor else P("x", "y", None, None)
+    )
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=((E_spec,) * 4, P(), P("x", "y", None), P()),
+        out_specs=P("x", "y", None),
+    )

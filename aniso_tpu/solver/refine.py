@@ -42,6 +42,9 @@ class RefinedResult(NamedTuple):
     converged: bool
     refinements: int           # number of inner solves performed
     history: Tuple[float, ...]  # true relative residual before each round
+    phases: Optional[dict] = None  # wall-clock breakdown (rhs64 / f64
+    #   residual matvecs / inner f32 solves / f64 updates), host-timed
+    #   with every step forced to completion
 
 
 def refined_solve(
@@ -58,12 +61,16 @@ def refined_solve(
     the inner f32 solve reuses solver.forward / the preconditioner, the
     outer residual uses the f64 twin operator (solver._forward64).
     """
+    import time as _time
+
     cfg = solver.cfg
     tol = cfg.tol
     if inner_tol is None:
         # f32 Givens-estimate floor is ~5e-7; the achieved *true* inner
         # residual is then ~2e-6, which is the per-round contraction
         inner_tol = max(tol, 1e-6)
+    phases = {"rhs64_s": 0.0, "forward64_s": [], "inner_s": [],
+              "inner_iters": [], "update_s": 0.0}
 
     N = cfg.kernel_size
     shape = (N,) + solver.grid.nodes_x.shape
@@ -77,8 +84,10 @@ def refined_solve(
     q = jax.device_put(
         np.asarray(charge, np.float64).reshape(shape), twin_dev
     )
+    t0 = _time.perf_counter()
     b = solver._rhs64(q)
     bnorm = float(jnp.linalg.norm(b))
+    phases["rhs64_s"] = round(_time.perf_counter() - t0, 3)
     if bnorm == 0.0:
         return RefinedResult(jnp.zeros(shape, jnp.float64), 0.0, 0, True, 0, ())
 
@@ -94,20 +103,25 @@ def refined_solve(
     rel = 1.0
     for k in range(max_refine):
         # starting from zero, r = b exactly: skip one f64 matvec
+        t0 = _time.perf_counter()
         r = b if (x0 is None and k == 0) else b - solver._forward64(x)
         rnorm = float(jnp.linalg.norm(r))
+        phases["forward64_s"].append(round(_time.perf_counter() - t0, 3))
         rel = rnorm / bnorm
         history.append(rel)
         if rel <= tol:
             log.info(f"refine: converged at round {k}, true resid {rel:.3e}")
-            return RefinedResult(x, rel, total_inner, True, k, tuple(history))
+            return RefinedResult(x, rel, total_inner, True, k,
+                                 tuple(history), phases)
         if k > 0 and rel > 0.25 * history[-2]:
             # stalled at the floor of the f64 operator / f32 contraction;
             # more rounds cannot help
             log.warning(
                 f"refine: stalled at {rel:.3e} (round {k}); stopping"
             )
-            return RefinedResult(x, rel, total_inner, False, k, tuple(history))
+            return RefinedResult(x, rel, total_inner, False, k,
+                                 tuple(history), phases)
+        t0 = _time.perf_counter()
         r32 = (r / rnorm).astype(jnp.float32)
         if twin_dev is not acc:
             r32 = jax.device_put(np.asarray(r32), acc)
@@ -119,14 +133,23 @@ def refined_solve(
             tol=inner_tol,
             precond=precond,
         )
+        jax.block_until_ready(res.x)
+        phases["inner_s"].append(round(_time.perf_counter() - t0, 3))
+        phases["inner_iters"].append(int(res.iterations))
         total_inner += int(res.iterations)
+        t0 = _time.perf_counter()
         d = res.x.astype(jnp.float64)
         if twin_dev is not acc:
             d = jax.device_put(np.asarray(d), twin_dev)
-        x = x + rnorm * d
+        x = jax.block_until_ready(x + rnorm * d)
+        phases["update_s"] = round(
+            phases["update_s"] + _time.perf_counter() - t0, 3
+        )
+    t0 = _time.perf_counter()
     r = b - solver._forward64(x)
     rel = float(jnp.linalg.norm(r)) / bnorm
+    phases["forward64_s"].append(round(_time.perf_counter() - t0, 3))
     history.append(rel)
     return RefinedResult(
-        x, rel, total_inner, rel <= tol, max_refine, tuple(history)
+        x, rel, total_inner, rel <= tol, max_refine, tuple(history), phases
     )

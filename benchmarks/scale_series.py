@@ -132,6 +132,7 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps, restart=80):
         "residual": float(res.residual),
         "refinements": int(getattr(res, "refinements", 0)),
         "history": [float(h) for h in getattr(res, "history", [])],
+        "solve_phases": getattr(res, "phases", None),
         "e_cache_mb_f32": round(cache_mb, 1),
         "set_coeff_phases": getattr(solver, "set_coeff_phases", None),
         "roofline": roofline_summary(solver, matvec_s),
