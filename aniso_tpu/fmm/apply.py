@@ -307,6 +307,8 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
     stream in row chunks to bound the transient.
     """
     factored = isinstance(E_l, dict)
+    if factored and "Wo" in E_l:
+        return _m2l_translate_offsets(E_l, cosr_l, gsel, z)
     if factored:
         patch, W = E_l["patch"], E_l["W"]
         m2, P = patch.shape[1], W.shape[-1]
@@ -324,19 +326,23 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
             ]
             return _interleave_classes(outs, m2, r)
     else:
-        # dense: E_l[c] is per-class 4D -- y-minor (m2, r, 27r, m2) for
-        # lane-aligned m2, row-major (m2, m2, r, 27r) otherwise
+        # dense: E_l[c] is per-class -- y-minor 4D (m2, r, 27r, m2) for
+        # lane-aligned m2, xy-minor 3D (r, 27r, m2*m2) for sub-128 m2
+        # with lane-aligned m2^2, row-major 4D (m2, m2, r, 27r) otherwise
         # (fmm.smooth.build_m2l_E_fine) -- or a stacked (4, m2, m2, P)
         # flat-P array (coarse levels and the numpy host twin)
         E0 = E_l[0]
-        m2 = E0.shape[0]
-        P = (E0.shape[1] * E0.shape[2]) if (
-            E0.ndim == 4 and E0.shape[-1] == E0.shape[0]
-        ) else (
-            (E0.shape[2] * E0.shape[3]) if E0.ndim == 4 else E0.shape[-1]
-        )
+        m2 = gsel.shape[1]
+        if E0.ndim == 4:
+            P = (E0.shape[1] * E0.shape[2]) if E0.shape[-1] == E0.shape[0] \
+                else (E0.shape[2] * E0.shape[3])
+        elif E0.shape[0] != m2:            # xy-minor (r, 27r, m2*m2)
+            P = E0.shape[0] * E0.shape[1]
+        else:                              # stacked flat-P (m2, m2, P)
+            P = E0.shape[-1]
         itemsize = E0.dtype.itemsize
-        if use_pallas_m2l() and E0.dtype == jnp.float32 and E0.ndim == 3:
+        if use_pallas_m2l() and E0.dtype == jnp.float32 \
+                and E0.ndim == 3 and E0.shape[0] == m2:
             # (the opt-in Pallas dense kernel consumes the flat-P form
             # only; per-class 4D storage takes the fused XLA path)
             from .pallas_m2l import m2l_translate_class_dense_pallas
@@ -390,6 +396,17 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
                     * gt[:, None, :, :]
                 outs.append(jnp.transpose(jnp.sum(op, axis=2), (0, 2, 1)))
                 continue
+            if E4.ndim == 3 and E4.shape[0] != m2:
+                # xy-minor orientation (r, ob, m2*m2): reduce over ob
+                # (dim 1), boxes ride the lane axis
+                gt = jnp.transpose(gsel[c].reshape(m2 * m2, ob), (1, 0))
+                op = jnp.exp(-(E4 + z)) * cos4[:, :, None] * gt[None]
+                outs.append(
+                    jnp.transpose(jnp.sum(op, axis=1), (1, 0)).reshape(
+                        m2, m2, r
+                    )
+                )
+                continue
             if E4.ndim == 3:      # stacked host-twin form: free view on CPU
                 E4 = E4.reshape(m2, m2, r, ob)
             op = jnp.exp(-(E4 + z)) * cos4 * gsel[c][:, :, None, :]
@@ -437,13 +454,91 @@ def _level_E(m2l_E, level, coeffs):
     """Resolve a level's E representation; 'virtual' factored levels
     ({'W'} only) get their coefficient patches re-formed from the field
     (fmm.smooth.patch_for_level) -- pure data movement, traded for not
-    storing GB-scale patch tensors (the f64 twin's representation)."""
+    storing GB-scale patch tensors; per-offset levels ({'Wo'}) carry the
+    coefficient field through to _m2l_translate_offsets."""
     E_l = m2l_E[level]
+    if isinstance(E_l, dict) and "Wo" in E_l:
+        return {"Wo": E_l["Wo"], "coeffs": coeffs}
     if isinstance(E_l, dict) and "patch" not in E_l:
         from .smooth import patch_for_level
 
         return {"W": E_l["W"], "patch": patch_for_level(coeffs, level)}
     return E_l
+
+
+def _m2l_translate_offsets(E_l, cosr_l, gsel, z=0.0):
+    """Fused V-list translation at one fine level in the PER-OFFSET
+    virtual representation (fmm.smooth.build_m2l_offsets_fine): each
+    canonical (class, offset) E block is re-formed from bounding-box
+    windows of the coefficient field -- ~5-6x fewer re-form flops than
+    the factored patch @ W (the bbox of one offset is that much smaller
+    than the 27-offset union patch) -- and its exp(-E) is reused
+    TRANSPOSED for the mirror partner (line-integral symmetry, fmm.
+    smooth.coarse_mirror_table), halving quadrature and exp work again.
+    Entries whose mirror source falls off the box plane pair with
+    zero-padded multipoles in gsel, so restricting the mirror add to the
+    on-plane slice is exact (same argument as mirror_fill_coarse).
+
+    Single-device only: the strided box-plane window extraction would
+    re-gather a GSPMD-sharded coefficient field (sharded configs keep
+    the factored patch form -- see _row_chunk's n_shards note).
+    """
+    from .smooth import _fine_offset_entries
+
+    coeffs = E_l["coeffs"]
+    Wo = E_l["Wo"]
+    nq = coeffs.shape[-1]
+    m2 = gsel.shape[1]
+    ob = gsel.shape[-1]
+    r = ob // 27
+    np_cheb = int(np.sqrt(r))
+    entries, keys, mirrors = _fine_offset_entries(np_cheb)
+    B = coeffs.shape[0] // (2 * m2)
+    pad = jnp.pad(coeffs, ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)))
+    LX = pad.shape[0] // B
+    pb = pad.reshape(LX, B, LX, B, nq)
+    g4 = [gsel[c].reshape(m2, m2, 27, r) for c in range(4)]
+    cos4 = [cosr_l[c].reshape(r, 27, r) for c in range(4)]
+    T = [jnp.zeros((m2, m2, r), dtype=coeffs.dtype) for _ in range(4)]
+    for (c, o, px, py, di, dj, ki) in entries:
+        W = Wo[ki]                          # flat (r*r, bbx*bby*nq)
+        bbx = (abs(di) + 1) * B
+        bby = (abs(dj) + 1) * B
+        ox0, oy0 = min(0, di * B), min(0, dj * B)
+        ux = (px * B + ox0 + 3 * B) // B
+        uy = (py * B + oy0 + 3 * B) // B
+        nbx, nby = bbx // B, bby // B
+        rows = jnp.concatenate(
+            [pb[ux + s : ux + s + 2 * m2 : 2] for s in range(nbx)], axis=1,
+        )                                   # (m2, bbx, LX, B, nq)
+        win = jnp.concatenate(
+            [rows[:, :, uy + s : uy + s + 2 * m2 : 2] for s in range(nby)],
+            axis=3,
+        )                                   # (m2, bbx, m2, bby, nq)
+        win = jnp.transpose(win, (0, 2, 1, 3, 4)).reshape(m2, m2, -1)
+        # + z keeps the whole block loop-variant (no LICM hoist of the
+        # re-formed E or its exp inside GMRES loops)
+        E = jnp.einsum(
+            "xyk,pk->xyp", win + z, W, precision=HIGHEST
+        ).reshape(m2, m2, r, r)
+        X = jnp.exp(-E)                     # shared with the mirror
+        T[c] = T[c] + jnp.sum(
+            X * cos4[c][None, None, :, o, :] * g4[c][:, :, None, o, :],
+            axis=-1,
+        )
+        c2, o2, sx, sy = mirrors[(c, o)]
+        xd = slice(max(0, sx), m2 + min(0, sx))
+        yd = slice(max(0, sy), m2 + min(0, sy))
+        xs = slice(max(0, -sx), m2 + min(0, -sx))
+        ys = slice(max(0, -sy), m2 + min(0, -sy))
+        XT = jnp.swapaxes(X, 2, 3)[xs, ys]  # exp(-E)(b -> a), shifted
+        contrib = jnp.sum(
+            XT * cos4[c2][None, None, :, o2, :]
+            * g4[c2][xd, yd][:, :, None, o2, :],
+            axis=-1,
+        )
+        T[c2] = T[c2].at[xd, yd].add(contrib)
+    return _interleave_classes(T, m2, r)
 
 
 def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None,

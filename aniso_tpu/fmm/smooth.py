@@ -309,11 +309,96 @@ def build_m2l_E_fine(
             # forensics; the remote compile helper is not deterministic
             # across processes).  Requires m2 lane-aligned.
             E4 = jnp.transpose(E4, (0, 2, 3, 1))
+        elif _small_dense_xy() and (m2 * m2) % _DENSE_LANE_ALIGN == 0:
+            # xy-MINOR orientation (r, 27r, m2*m2) for the sub-128 m2
+            # levels (64^2/128^2 leaves): the flattened box axis is
+            # lane-aligned and 27r sits on the (mult-of-8) sublane axis
+            # -- ZERO padding, where the row-major fallback pays +18.5%
+            # lane pad and taxed the 64^2 headline matvec 7% (round-4
+            # VERDICT item 4).  Single-device storage only: merging the
+            # two spatial dims defeats GSPMD spatial sharding (the
+            # sharded fixtures set _SMALL_DENSE_XY off).
+            E4 = jnp.transpose(E4.reshape(m2 * m2, r, ob), (1, 2, 0))
         # else: row-major (m2, m2, r, 27r); the 27r lane dim pads to 512
         # (+18.5%) and a worst-case in-program re-lay of such a small
         # block is affordable
         out.append(E4)
     return tuple(out)
+
+
+def _small_dense_xy() -> bool:
+    return _os.environ.get("ANISO_DENSE_XY", "1") != "0" and _SMALL_DENSE_XY
+
+
+# test/fixture override knob (env ANISO_DENSE_XY=0 for sharded runs)
+_SMALL_DENSE_XY = True
+
+
+@functools.lru_cache(maxsize=None)
+def _fine_offset_entries(np_cheb: int):
+    """Canonical per-offset plan shared by build_m2l_offsets_fine and
+    fmm.apply._m2l_translate_offsets: (entries, keys, mirrors) with
+    entries = ((c, o, px, py, di, dj, ki), ...) over canonical (class,
+    offset) blocks, keys = the distinct physical offsets (di, dj) in
+    upload order (the weight geometry drops the parity class), and
+    mirrors[(c, o)] = (c2, o2, sx, sy) from coarse_mirror_table."""
+    entries = []
+    keys = []
+    mirrors = {}
+    for (c, o, canonical, c2, o2, sx, sy) in coarse_mirror_table(np_cheb):
+        if not canonical:
+            continue
+        px, py = c >> 1, c & 1
+        di, dj = vlist_offsets(px, py)[o]
+        if (di, dj) not in keys:
+            keys.append((di, dj))
+        entries.append((c, o, px, py, di, dj, keys.index((di, dj))))
+        mirrors[(c, o)] = (c2, o2, sx, sy)
+    return tuple(entries), tuple(keys), mirrors
+
+
+def build_m2l_offsets_fine(
+    grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
+    dtype=jnp.float32,
+) -> dict:
+    """Per-offset VIRTUAL representation of a fine level: {'Wo': tuple of
+    (r*r, bbx, bby, nq) weight blocks}, one per distinct canonical
+    physical offset, grid.dx folded in.  ~MBs resident (vs 97-390 MB for
+    the factored W and GBs for dense E).
+
+    fmm.apply._m2l_translate_offsets re-forms each canonical (class,
+    offset) E block inside the matvec from bounding-box windows of the
+    coefficient field -- the same restructuring that makes the coarse
+    levels cheap (_coarse_offset_weight_cached: the bbox patch is ~5-6x
+    smaller than the 27-offset union patch (7B)^2, so the re-form costs
+    ~5-6x fewer flops than the factored patch @ W form) -- and reuses
+    exp(-E) TRANSPOSED for the block's mirror partner (line-integral
+    symmetry E(a->b) = E(b->a), coarse_mirror_table), halving both the
+    quadrature flops and the exp work.  Chosen for the f64 refinement
+    twin's fine levels (the 512^2 twin sweep cost ~10 s/apply in the
+    factored form -- round-4 VERDICT item 1) and for f32 fine levels
+    evicted from the dense budget on single-device refine configs.
+    NOT used under a mesh: the strided box-plane window extraction would
+    re-gather a GSPMD-sharded coefficient field (the factored patch form
+    stays the sharded fallback, patch_for_level)."""
+    _, keys, _ = _fine_offset_entries(np_cheb)
+    B = tcfg.box_size_squares(level)
+    dxv = np.asarray(grid.dx)
+    r2 = (np_cheb * np_cheb) ** 2
+    # stored flat (r*r, bbx*bby*nq): the 4D (r*r, bbx, bby, nq) form
+    # would tile-pad its two minor dims (bby -> 8, nq -> 128) ~30x on
+    # TPU; flat, the lane dim is the contraction axis and pads ~2x worst
+    # case.  bbx/bby are re-derived at apply time from (di, dj) and B.
+    return {
+        "Wo": tuple(
+            jnp.asarray(
+                (_coarse_offset_weight_cached(
+                    grid.deg, np_cheb, B, di, dj)[0] * dxv).reshape(r2, -1),
+                dtype=dtype,
+            )
+            for (di, dj) in keys
+        )
+    }
 
 
 def build_near_E_np(grid: Grid, coeffs_np: np.ndarray) -> np.ndarray:
@@ -794,12 +879,16 @@ def fine_dense_level_bytes(m2: int, np_cheb: int, itemsize: int) -> int:
     """Real HBM footprint of one fine dense level stored per class.
 
     m2 lane-aligned (>= 128): the y-minor (m2, r, 27r, m2) orientation,
-    ZERO padding.  Smaller levels: the row-major (m2, m2, r, 27r)
-    orientation, whose 27r lane dim pads to the 128 tile (432 -> 512
-    for np_cheb 4; +18.5%).  The budget and the cap count what the chip
-    actually allocates (build_m2l_E_fine chooses the same way)."""
+    ZERO padding.  Sub-128 m2 with lane-aligned m2^2: the xy-minor
+    (r, 27r, m2*m2) orientation, also ZERO padding.  Remaining tiny
+    levels: the row-major (m2, m2, r, 27r) orientation, whose 27r lane
+    dim pads to the 128 tile (432 -> 512 for np_cheb 4; +18.5%).  The
+    budget and the cap count what the chip actually allocates
+    (build_m2l_E_fine chooses the same way)."""
     r = np_cheb * np_cheb
-    if m2 % _DENSE_LANE_ALIGN == 0:
+    if m2 % _DENSE_LANE_ALIGN == 0 or (
+        _small_dense_xy() and (m2 * m2) % _DENSE_LANE_ALIGN == 0
+    ):
         return 4 * m2 * m2 * r * (27 * r) * itemsize
     return 4 * m2 * m2 * _roundup(r, 8) * _roundup(27 * r, 128) * itemsize
 
@@ -876,13 +965,27 @@ def build_m2l_E(
     grid: Grid, tcfg: TreeConfig, np_cheb: int, coeffs: jnp.ndarray,
     dtype=jnp.float32, coeffs_np=None, dense_cap_bytes=None,
     coarse_np=None, store_patch: bool = True, budget_bytes=None,
+    fine_fallback: str = "factored",
 ) -> dict:
     """Full per-level M2L E cache: coarse levels as stacked
     (4, m2, m2, r*27*r) dense tensors, fine levels as per-class 4D dense
-    tuples (build_m2l_E_fine), or the factored {'patch', 'W'} form when
-    dense would blow the per-array cap or the cumulative total budget
-    (the 512^2 leaf alone is 7.25 GB f32; allocation is coarsest-first
-    so the cheap-to-recompute leaf falls back first).
+    tuples (build_m2l_E_fine), or -- when dense would blow the per-array
+    cap or the cumulative total budget (the 512^2 leaf alone is 7.25 GB
+    f32) -- one of two recompute representations chosen by
+    `fine_fallback`:
+
+      'factored': {'patch', 'W'} (build_m2l_patch_fine) -- GSPMD-safe
+        (the box-plane patch assembly shards O(halo)); ~2x matvec at the
+        512^2 leaf.
+      'offsets': {'Wo'} per-offset virtual (build_m2l_offsets_fine) --
+        ~5-6x fewer re-form flops + mirror-shared exp; single-device
+        only (strided window extraction re-gathers sharded fields).
+
+    Allocation is coarsest-first, which is also optimal: a factored or
+    per-offset level costs the SAME total recompute flops whatever its
+    depth (entries x bbox work is depth-invariant), so the budget should
+    dense the cheap-in-bytes coarse/mid levels first and leave the big
+    leaf to the recompute path.
 
     Mode-independent; serves every Fourier kernel (cf. the reference's
     per-mode cache passes, AnisoWrapper.cpp:72-90).
@@ -913,15 +1016,20 @@ def build_m2l_E(
             if dense_bytes // 4 > dense_cap_bytes or \
                spent + dense_bytes > budget_bytes:
                 log.info(
-                    f"m2l E level {level}: factored (dense "
+                    f"m2l E level {level}: {fine_fallback} (dense "
                     f"{dense_bytes / 1e9:.2f} GB vs cap "
                     f"{dense_cap_bytes / 1e9:.2f} / remaining budget "
                     f"{max(0, budget_bytes - spent) / 1e9:.2f} GB)"
                 )
-                cache[level] = build_m2l_patch_fine(
-                    grid, tcfg, level, np_cheb, coeffs, dtype,
-                    store_patch=store_patch,
-                )
+                if fine_fallback == "offsets":
+                    cache[level] = build_m2l_offsets_fine(
+                        grid, tcfg, level, np_cheb, dtype
+                    )
+                else:
+                    cache[level] = build_m2l_patch_fine(
+                        grid, tcfg, level, np_cheb, coeffs, dtype,
+                        store_patch=store_patch,
+                    )
             else:
                 spent += dense_bytes
                 cache[level] = build_m2l_E_fine(
@@ -980,11 +1088,6 @@ def m2l_cache_bytes(cache: dict) -> int:
 
     total = 0
     for v in cache.values():
-        if isinstance(v, dict):
-            leaves = v.values()
-        elif isinstance(v, (list, tuple)):
-            leaves = v
-        else:
-            leaves = (v,)
+        leaves = jax.tree_util.tree_leaves(v)
         total += sum(nbytes(a) for a in leaves)
     return total

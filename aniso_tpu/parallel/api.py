@@ -93,6 +93,12 @@ def shard_pytree(mesh: Mesh, tree):
             # row-major (m2, m2, r, 27r) -> spatial dims 0, 1
             # (fmm.smooth.build_m2l_E_fine)
             if leaf.startswith("["):
+                if x.ndim == 3:
+                    # xy-minor small-level block (r, 27r, m2*m2): the
+                    # merged box axis defeats 2D spatial sharding --
+                    # replicate (small by construction; sharded builds
+                    # set ANISO_DENSE_XY=0 to keep 4D orientations)
+                    return replicate(mesh, x)
                 if x.ndim == 4 and x.shape[-1] == x.shape[0]:
                     if _divisible(x.shape, mesh, 0, 3):
                         return jax.device_put(
@@ -187,13 +193,13 @@ def sharded_solver(solver, mesh: Mesh, halo: str = "gspmd"):
         def translate_fn(level, E_l, cosr_l, M_l, z):
             # hand path takes fine DENSE per-class levels whose box plane
             # divides the mesh; everything else falls back to GSPMD
-            if not isinstance(E_l, tuple):
-                return None
+            if not isinstance(E_l, tuple) or E_l[0].ndim != 4:
+                return None             # factored / offsets / xy-minor
             m2 = E_l[0].shape[0]
             m = M_l.shape[0]
             if m % (2 * mx) or M_l.shape[1] % (2 * my) or m2 % mx:
                 return None
-            y_minor = E_l[0].ndim == 4 and E_l[0].shape[-1] == m2
+            y_minor = E_l[0].shape[-1] == m2
             if y_minor and m2 % my:
                 return None
             if not y_minor and E_l[0].shape[1] % my:

@@ -227,6 +227,27 @@ class TransportSolver:
         self._forward_impl_jit = jax.jit(forward_impl)
         self._rhs_impl_jit = jax.jit(rhs_impl)
 
+        # the whole restarted GMRES as ONE jitted program with the caches
+        # as ARGUMENTS: calling gmres() eagerly traces its lax.while_loop
+        # with the operator closure's cache arrays captured as lowered
+        # CONSTANTS (3.7 GB at 512^2 -- jax warns) and the solve then pays
+        # seconds of per-call constant handling (round-4: 21.6 s for 27
+        # inner iterations whose matvecs cost 3.2 s).  As args, the caches
+        # are ordinary parameters of the compiled program.
+        def gmres_impl(st, caches, mode_statics, C_fwd, sigma_s, b, x0,
+                       tol):
+            from .gmres import gmres
+
+            fwd = functools.partial(
+                forward_impl, st, caches, mode_statics, C_fwd, sigma_s
+            )
+            return gmres(
+                fwd, b, x0, restart=self.cfg.restart,
+                max_iter=self.cfg.max_iter, tol=tol,
+            )
+
+        self._gmres_jit = jax.jit(gmres_impl)
+
     def _forward64(self, u: jnp.ndarray) -> jnp.ndarray:
         """f64 twin of forward() for refinement residuals (solver.refine)."""
         return self._forward_impl_jit(
@@ -334,9 +355,10 @@ class TransportSolver:
             }
             phases["coarse_s"] = _time.time() - t0
 
-        def build(dtype, tag="", virtual=False, budget=None):
+        def build(dtype, tag="", virtual=False, budget=None,
+                  fine_fallback="factored"):
             """virtual=True stores only the coefficient field + static
-            weights for the near field and factored-level patches; the
+            weights for the near field and recompute-level tables; the
             apply re-forms them in-matvec (fmm.apply._level_E /
             _near_apply).  Used for the f64 device twin, whose stored
             form would not fit HBM next to the f32 fast path at 512^2."""
@@ -365,42 +387,76 @@ class TransportSolver:
                 g, self._tcfg, self.cfg.np_cheb, coeffs_dev,
                 dtype=dtype, coeffs_np=coeffs_np, coarse_np=coarse_np,
                 store_patch=not virtual, budget_bytes=budget,
+                fine_fallback=fine_fallback,
             ))
+            # per-offset levels re-form E from the coefficient field
+            # inside the matvec (fmm.apply._m2l_translate_offsets)
+            if any(
+                isinstance(v, dict) and "Wo" in v
+                for v in out["m2l_E"].values()
+            ):
+                out["coeffs"] = coeffs_dev
             phases[f"m2l{tag}_s"] = _time.time() - t0
             return out
 
-        from ..fmm.smooth import (
-            coarse_dense_bytes, _DENSE_E_TOTAL_BUDGET_BYTES,
-        )
+        from ..fmm.smooth import coarse_dense_bytes
 
         f32_budget = None
+        fine_fb = "factored"
         if self.cfg.refine and self.cfg.refine_twin == "device":
-            # leave HBM headroom for the resident f64 twin (its W64
-            # operators + dense coarse levels) and the residual-matvec
-            # transients; the dense allocation is coarsest-first, so the
-            # big leaf is what falls back to factored under the reduced
-            # budget
-            reserve = (
-                600 * 1024 * 1024                      # W64 (B=1, 2)
-                + coarse_dense_bytes(self._tcfg, self.cfg.np_cheb, 8)
-                + 2 * 1024 * 1024 * 1024               # twin transients
+            # EXACT headroom accounting (round-4 VERDICT item 1: the
+            # guessed reserve pushed the 512^2 leaf factored and cost
+            # 4.5x the matvec).  Everything resident next to the dense
+            # f32 E levels during a refined solve is summed and
+            # subtracted from the axon plugin's practical per-execution
+            # resident ceiling (~11.5-13 GB measured; env override
+            # ANISO_HBM_CEILING_MB); fine levels that still don't fit
+            # take the per-offset recompute path, not the 2x-slower
+            # factored patch form.
+            fine_fb = "offsets"
+            import os as _os
+
+            ceiling = int(_os.environ.get(
+                "ANISO_HBM_CEILING_MB", 11 * 1024 + 512
+            )) * 1024 * 1024
+            nfield = g.sz * g.sz * g.nq
+            twin_bytes = (
+                coarse_dense_bytes(self._tcfg, self.cfg.np_cheb, 8)
+                + 64 * 1024 * 1024   # Wo64 + near_W64 + coeffs64 + sigma
             )
+            near_bytes = 9 * g.nq * g.nq * g.sz * g.sz * 4
+            mode_static_bytes = sum(
+                int(np.prod(v.shape)) * v.dtype.itemsize
+                for ms in self._mode_statics
+                for v in jax.tree_util.tree_leaves(ms)
+            )
+            krylov_bytes = (
+                (self.cfg.restart + 1) * self.cfg.kernel_size * nfield * 4
+            )
+            transient_allowance = 1024 * 1024 * 1024
+            slack = 256 * 1024 * 1024
             f32_budget = max(
                 2 * 1024 * 1024 * 1024,
-                _DENSE_E_TOTAL_BUDGET_BYTES - reserve,
+                ceiling - twin_bytes - near_bytes - mode_static_bytes
+                - krylov_bytes - transient_allowance - slack,
             )
 
         t0 = _time.time()
-        caches = jax.block_until_ready(build(self.dtype, budget=f32_budget))
+        caches = jax.block_until_ready(
+            build(self.dtype, budget=f32_budget, fine_fallback=fine_fb)
+        )
         phases["device_build_s"] = _time.time() - t0
         if self.cfg.refine and self.cfg.refine_twin == "device":
-            # f64 twin on the accelerator: same builders at dtype=f64
-            # (XLA f64 emulation; the byte-based dense cap pushes fine
-            # levels to the factored form 2x sooner, bounding HBM)
+            # f64 twin on the accelerator: coarse levels dense f64
+            # (shared with the f32 build), ALL fine levels in the
+            # per-offset recompute form (budget=0) -- ~20 MB resident vs
+            # the 490 MB factored W64 + patch form, and ~6x fewer
+            # re-form flops per residual sweep (round-4: 7.9 s/sweep,
+            # 23.4 s of the 45 s refined 512^2 solve)
             t0 = _time.time()
             self._caches64 = jax.block_until_ready(
-                build(jnp.float64, "64", virtual=True,
-                      budget=2 * 1024 * 1024 * 1024)
+                build(jnp.float64, "64", virtual=True, budget=0,
+                      fine_fallback="offsets")
             )
             phases["twin_device_s"] = _time.time() - t0
         elif self.cfg.refine:
@@ -536,6 +592,31 @@ class TransportSolver:
             out.append(acc)
         return jnp.stack(out)
 
+    def inner_gmres(self, b, tol, x0=None, precond=None) -> GmresResult:
+        """GMRES on the corrected forward operator.
+
+        fmm backend, unpreconditioned: the fully-jitted program with the
+        caches as arguments (see _make_fmm_jits).  With a preconditioner
+        (whose closure state is MB-scale) or the dense backend, the
+        eager-traced path.
+        """
+        N = self.cfg.kernel_size
+        shape = (N,) + self.grid.nodes_x.shape
+        if self.backend_name == "fmm" and precond is None:
+            b = jnp.asarray(b, dtype=self.dtype).reshape(shape)
+            x0a = (
+                jnp.zeros_like(b) if x0 is None
+                else jnp.asarray(x0, dtype=self.dtype).reshape(shape)
+            )
+            return self._gmres_jit(
+                self._fmm_static, self._caches, self._mode_statics,
+                self._C_fwd, self.sigma_s, b, x0a, tol,
+            )
+        return gmres(
+            self.forward, b, x0, restart=self.cfg.restart,
+            max_iter=self.cfg.max_iter, tol=tol, precond=precond,
+        )
+
     # -- solve (aniso.m:159-173 / main.cpp:138-141) --
 
     def solve(
@@ -552,12 +633,4 @@ class TransportSolver:
         shape = (N,) + self.grid.nodes_x.shape
         charge = jnp.asarray(charge, dtype=self.dtype).reshape(shape)
         b = self.rhs(charge)
-        return gmres(
-            self.forward,
-            b,
-            x0,
-            restart=self.cfg.restart,
-            max_iter=self.cfg.max_iter,
-            tol=self.cfg.tol,
-            precond=precond,
-        )
+        return self.inner_gmres(b, self.cfg.tol, x0=x0, precond=precond)

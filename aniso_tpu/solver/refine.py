@@ -32,7 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.logging import log
-from .gmres import gmres
 
 
 class RefinedResult(NamedTuple):
@@ -125,14 +124,7 @@ def refined_solve(
         r32 = (r / rnorm).astype(jnp.float32)
         if twin_dev is not acc:
             r32 = jax.device_put(np.asarray(r32), acc)
-        res = gmres(
-            solver.forward,
-            r32,
-            restart=cfg.restart,
-            max_iter=cfg.max_iter,
-            tol=inner_tol,
-            precond=precond,
-        )
+        res = solver.inner_gmres(r32, inner_tol, precond=precond)
         jax.block_until_ready(res.x)
         phases["inner_s"].append(round(_time.perf_counter() - t0, 3))
         phases["inner_iters"].append(int(res.iterations))

@@ -54,9 +54,18 @@ def run_one(sz, N, g, deg, reps):
     t0 = time.time()
     solver.set_coeff(sig_s, sig_s + 0.2)
     cold_s = time.time() - t0
+    cold_phases = getattr(solver, "set_coeff_phases", None)
     t0 = time.time()
     solver.set_coeff(sig_s * 1.01, sig_s * 1.01 + 0.2)
     warm_s = time.time() - t0
+    warm_phases = getattr(solver, "set_coeff_phases", None)
+    # a second warm rep separates a one-time per-process effect (e.g. a
+    # compile the N=1 run paid earlier in the same process) from a real
+    # N-dependence (round-4 VERDICT item 2: 2.7 -> 11.5 s warm at N=3)
+    t0 = time.time()
+    solver.set_coeff(sig_s * 1.02, sig_s * 1.02 + 0.2)
+    warm2_s = time.time() - t0
+    warm2_phases = getattr(solver, "set_coeff_phases", None)
 
     q = np.exp(-25 * ((grid.nodes_x - 0.5) ** 2 + (grid.nodes_y - 0.5) ** 2))
     u = jnp.asarray(
@@ -104,6 +113,10 @@ def run_one(sz, N, g, deg, reps):
         "sz": sz, "modes": N, "g": g, "deg": deg, "nodes": grid.n_nodes,
         "set_coeff_cold_s": round(cold_s, 2),
         "set_coeff_warm_s": round(warm_s, 2),
+        "set_coeff_warm2_s": round(warm2_s, 2),
+        "set_coeff_phases_cold": cold_phases,
+        "set_coeff_phases_warm": warm_phases,
+        "set_coeff_phases_warm2": warm2_phases,
         "e_cache_mb": round(cache_mb, 1),
         "forward_ms": round(per * 1e3, 3),
         "forward_compile_s": round(compile_s, 1),

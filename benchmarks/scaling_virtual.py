@@ -16,6 +16,9 @@ Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 import argparse
 import json
 import os
+# sharded benchmarks: 4D dense orientations only (the xy-minor small-
+# level form cannot shard spatially; fmm.smooth._small_dense_xy)
+os.environ.setdefault("ANISO_DENSE_XY", "0")
 import sys
 import time
 

@@ -18,6 +18,9 @@ Usage: python benchmarks/sharded_solve.py --sizes 256 [512]
 import argparse
 import json
 import os
+# sharded benchmarks: 4D dense orientations only (the xy-minor small-
+# level form cannot shard spatially; fmm.smooth._small_dense_xy)
+os.environ.setdefault("ANISO_DENSE_XY", "0")
 import sys
 import time
 

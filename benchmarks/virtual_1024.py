@@ -17,6 +17,9 @@ Usage: python benchmarks/virtual_1024.py [--sz 1024] [--iters 5]
 import argparse
 import json
 import os
+# sharded benchmarks: 4D dense orientations only (the xy-minor small-
+# level form cannot shard spatially; fmm.smooth._small_dense_xy)
+os.environ.setdefault("ANISO_DENSE_XY", "0")
 import sys
 import time
 

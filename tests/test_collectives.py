@@ -36,6 +36,8 @@ def test_collective_stats_parser():
 
 @pytest.fixture(scope="module")
 def sharded_matvec():
+    import aniso_tpu.fmm.smooth as smooth
+
     cfg = SolverConfig(
         domain_size=32, quad_rule=2, kernel_size=1, g=0.9,
         sing_rule=4, np_cheb=3, dtype="float32",
@@ -43,7 +45,14 @@ def sharded_matvec():
     s = TransportSolver(cfg, backend="fmm")
     g = s.grid
     sig = 8 * 0.5 * (1 - np.cos(2 * np.pi * g.nodes_x))
-    s.set_coeff(sig, sig + 0.2)
+    # sharded build: keep 4D dense orientations (the xy-minor merged box
+    # axis cannot shard spatially and would break the O(halo) gates)
+    saved = smooth._SMALL_DENSE_XY
+    smooth._SMALL_DENSE_XY = False
+    try:
+        s.set_coeff(sig, sig + 0.2)
+    finally:
+        smooth._SMALL_DENSE_XY = saved
     mesh = make_mesh()
     apply_fn, caches, mode_statics = sharded_solver(s, mesh)
     u = shard_field(mesh, jnp.asarray(np.random.default_rng(0).random((32, 32, 4)), jnp.float32))

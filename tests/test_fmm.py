@@ -337,9 +337,10 @@ def test_yminor_dense_orientation_matches_rowmajor(monkeypatch):
     rng = np.random.default_rng(5)
     v = jnp.asarray(rng.standard_normal((32, 32, 4)), jnp.float32)
 
+    monkeypatch.setattr(S, "_SMALL_DENSE_XY", False)
     s_row = build()                        # m2 in {4, 8, 16} -> row-major
     assert all(
-        b.shape[-1] != b.shape[0]
+        b.ndim == 4 and b.shape[-1] != b.shape[0]
         for lv, blocks in s_row._caches["m2l_E"].items()
         if isinstance(blocks, tuple) for b in blocks
     )
@@ -354,3 +355,63 @@ def test_yminor_dense_orientation_matches_rowmajor(monkeypatch):
     )
     out = np.asarray(s_ym.apply_mode(0, v))
     np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-7)
+
+    # and the xy-minor (r, 27r, m2*m2) small-level orientation (the
+    # 64^2/128^2 production leaves; round-4 VERDICT item 4)
+    monkeypatch.setattr(S, "_DENSE_LANE_ALIGN", 128)
+    monkeypatch.setattr(S, "_SMALL_DENSE_XY", True)
+    s_xy = build()                         # leaf m2=16 -> xy-minor
+    assert any(
+        b.ndim == 3
+        for lv, blocks in s_xy._caches["m2l_E"].items()
+        if isinstance(blocks, tuple) for b in blocks
+    )
+    out = np.asarray(s_xy.apply_mode(0, v))
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-7)
+
+
+def test_offsets_fine_E_matches_dense():
+    """The per-offset virtual representation (fmm.smooth.
+    build_m2l_offsets_fine + fmm.apply._m2l_translate_offsets) reproduces
+    the dense E path: each canonical (class, offset) block re-formed from
+    bounding-box windows is the same exact quadrature, and the mirror
+    reuse (exp(-E) transposed) must be exact by the line-integral symmetry
+    E(a->b) = E(b->a)."""
+    import jax
+    import aniso_tpu.fmm.smooth as S
+    from aniso_tpu.fmm import apply as A
+
+    sz, deg = 16, 2
+    cfg = SolverConfig(
+        domain_size=sz, quad_rule=deg, kernel_size=2, g=0.5,
+        sing_rule=6, np_cheb=4, dtype="float64",
+    )
+    rng = np.random.default_rng(11)
+    solver = TransportSolver(cfg, backend="fmm")
+    g = solver.grid
+    sig_s = 1.0 + rng.random(g.nodes_x.shape)
+    solver.set_coeff(sig_s, sig_s + 0.3)
+    u = rng.random(g.nodes_x.shape)
+    ref = [np.asarray(solver.apply_mode(m, jnp.asarray(u))) for m in (0, 1)]
+
+    coeffs_dev = jnp.asarray(solver._coeffs_np, dtype=jnp.float64)
+    virt = dict(solver._caches)
+    virt["m2l_E"] = S.build_m2l_E(
+        g, solver._tcfg, cfg.np_cheb, coeffs_dev, dtype=jnp.float64,
+        coeffs_np=solver._coeffs_np, budget_bytes=0,
+        fine_fallback="offsets",
+    )
+    assert any(
+        isinstance(v, dict) and "Wo" in v for v in virt["m2l_E"].values()
+    )
+    virt["coeffs"] = coeffs_dev
+    leaf = solver._tcfg.leaf_level
+    apply_jit = jax.jit(
+        lambda c, ms, u, m: A.fmm_apply_mode(
+            leaf, solver._fmm_static, c, ms, m, u
+        ),
+        static_argnums=(3,),
+    )
+    for m in (0, 1):
+        out = np.asarray(apply_jit(virt, solver._mode_statics[m], u, m))
+        np.testing.assert_allclose(out, ref[m], rtol=1e-12, atol=1e-13)
