@@ -11,8 +11,14 @@ differences:
     ddot/daxpy chain (gmres.cpp:116-119); numerically as robust as MGS and
     collective-friendly when the basis is sharded (two psums per iteration
     instead of 2(i+1));
-  * static shapes: the Krylov basis is a fixed (m+1, n) buffer, updated with
-    dynamic_update_slice.
+  * static shapes: the Krylov basis is a fixed (m+1, *field) buffer, updated
+    with dynamic_update_slice;
+  * the iterate keeps its NATURAL field shape throughout -- no reshape(-1).
+    Flattening a GSPMD-sharded (sz, sz, nq) field merges the sharded dims
+    and forces volume all-gathers in every basis update (round-4 VERDICT
+    item 5: 144 all-gathers x 8.6 MB/shard per 256^2 sharded solve); in
+    natural shape the basis shards with the field and each CGS2 pass is a
+    per-shard contraction + an (m+1)-scalar psum.
 
 An optional *left* preconditioner supports the DSA analogue: MATLAB's
 gmres(A, b, ..., M) solves inv(M) A x = inv(M) b, which is how the reference
@@ -36,8 +42,18 @@ from jax import lax
 HIGHEST = lax.Precision.HIGHEST
 
 
-def _mv(A, x):
-    return jnp.einsum("ij,j->i", A, x, precision=HIGHEST)
+def _dots(V, w):
+    """(m+1, *field) x (*field) -> (m+1,) batched inner products."""
+    nd = w.ndim
+    return jnp.tensordot(
+        V, w, axes=(tuple(range(1, nd + 1)), tuple(range(nd))),
+        precision=HIGHEST,
+    )
+
+
+def _comb(V, h):
+    """(m+1,) coefficients against the basis -> (*field)."""
+    return jnp.tensordot(h, V, axes=((0,), (0,)), precision=HIGHEST)
 
 
 class GmresResult(NamedTuple):
@@ -86,24 +102,22 @@ def gmres(
     `j` increments per Arnoldi step (gmres.cpp:106).
     """
     shape = b.shape
-    b = b.reshape(-1)
-    n = b.shape[0]
     dtype = b.dtype
     m = restart
 
     if x0 is None:
         x0 = jnp.zeros_like(b)
     else:
-        x0 = x0.reshape(-1)
+        x0 = x0.reshape(shape)
 
     def A(v):
-        out = matvec(v.reshape(shape)).reshape(-1)
+        out = matvec(v)
         if precond is not None:
-            out = precond(out.reshape(shape)).reshape(-1)
-        return out
+            out = precond(out)
+        return out.reshape(shape)
 
     if precond is not None:
-        b = precond(b.reshape(shape)).reshape(-1)
+        b = precond(b).reshape(shape)
 
     normb = jnp.linalg.norm(b)
     normb = jnp.where(normb == 0.0, 1.0, normb)
@@ -128,7 +142,7 @@ def gmres(
 
     def inner_cycle(x, r, beta, j_start):
         """One restart cycle; returns updated x, r, beta, j, resid, done."""
-        V = jnp.zeros((m + 1, n), dtype=dtype)
+        V = jnp.zeros((m + 1,) + shape, dtype=dtype)
         V = V.at[0].set(r / beta)
         H = jnp.zeros((m + 1, m), dtype=hdtype)
         s = jnp.zeros((m + 1,), dtype=hdtype).at[0].set(
@@ -146,10 +160,10 @@ def gmres(
             w = A(V[i])
             # CGS2: mask rows > i
             mask = (jnp.arange(m + 1) <= i).astype(dtype)
-            h1 = _mv(V, w) * mask
-            w = w - _mv(V.T, h1)
-            h2 = _mv(V, w) * mask
-            w = w - _mv(V.T, h2)
+            h1 = _dots(V, w) * mask
+            w = w - _comb(V, h1)
+            h2 = _dots(V, w) * mask
+            w = w - _comb(V, h2)
             h = h1 + h2
             wnorm = jnp.linalg.norm(w)
             V = V.at[i + 1].set(w / jnp.where(wnorm == 0.0, 1.0, wnorm))
@@ -196,7 +210,7 @@ def gmres(
         Hm = jnp.where(diag_mask[None, :] | (idx[:, None] == idx[None, :]), Hm, 0.0)
         rhs = jnp.where(diag_mask, s[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
-        x_new = x + _mv(V[:m].T, y.astype(dtype))
+        x_new = x + _comb(V[:m], y.astype(dtype))
 
         r_new = b - A(x_new)
         beta_new = jnp.linalg.norm(r_new)

@@ -198,3 +198,42 @@ def test_sharded_virtual_patch_matvec_is_o_halo(factored_solver):
     assert st.total_bytes() < 4 * mesh.devices.size * field_bytes, st
     out = np.asarray(compiled(caches, ms0, u))
     assert np.linalg.norm(out - ref) / np.linalg.norm(ref) < 1e-6
+
+
+def test_sharded_gmres_moves_halo_not_volume(sharded_matvec):
+    """Round-4 VERDICT item 5: the SOLVE-level collectives were ungated --
+    GMRES flattened the sharded field (reshape(-1) merges the sharded
+    dims), so every basis update re-gathered volume-sized operands (144
+    all-gathers x 8.6 MB/shard per 256^2 sharded solve).  The natural-
+    shape GMRES must emit only scalar/control all-gathers; CGS2
+    reductions become all-reduces of (m+1,) scalars."""
+    import jax
+    from aniso_tpu.solver.gmres import gmres
+
+    s, mesh, _ = sharded_matvec
+    if mesh.devices.size < 2:
+        pytest.skip("needs a multi-device mesh")
+    apply_fn, caches, ms = sharded_solver(s, mesh)
+    rng = np.random.default_rng(3)
+    u = shard_field(
+        mesh, jnp.asarray(rng.random((32, 32, 4)), jnp.float32)
+    )
+    sig = shard_field(mesh, s.sigma_s)
+
+    @jax.jit
+    def solve_step(cch, m0, sg, b):
+        def mv(v):
+            return v - apply_fn(cch, m0, 0, sg * v)
+
+        res = gmres(mv, b, restart=6, max_iter=6, tol=1e-12)
+        return res.x, res.residual
+
+    compiled = solve_step.lower(caches, ms[0], sig, u).compile()
+    st = compiled_collective_stats(compiled)
+    # the hard gate: no volume all-gathers anywhere in a FULL gmres
+    # program (matvecs + basis updates + reductions + x update)
+    assert st.bytes.get("all-gather", 0) <= 16 * 1024, st
+    assert st.counts.get("all-reduce", 0) > 0, st
+    x, r = compiled(caches, ms[0], sig, u)
+    assert np.isfinite(float(r))
+    assert x.shape == u.shape
