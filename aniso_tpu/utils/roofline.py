@@ -72,6 +72,27 @@ def matvec_costs(solver) -> dict:
     for lv, E_l in caches["m2l_E"].items():
         m2 = tcfg.boxes(lv) // 2
         P = r * 27 * r
+        if isinstance(E_l, dict) and "Wo" in E_l:
+            # per-offset virtual (build_m2l_offsets_fine): one window
+            # dot per CANONICAL (class, offset) block, exp shared with
+            # the mirror -- half the generic exp count
+            from ..fmm.smooth import _fine_offset_entries
+
+            entries, keys, _ = _fine_offset_entries(solver.cfg.np_cheb)
+            itemsize = E_l["Wo"][0].dtype.itemsize
+            bytes_read += sum(_nbytes(v) for v in E_l["Wo"])
+            bytes_read += sz * sz * nq * itemsize   # coeff field read
+            blk = m2 * m2 * r * r
+            for (_c, _o, _px, _py, _di, _dj, ki) in entries:
+                flops += 2 * blk * E_l["Wo"][ki].shape[1]
+            # E transient written + re-read per canonical block; exp on
+            # the canonical half only; contract over all 4*27 blocks
+            transient_bytes += 2 * len(entries) * blk * itemsize
+            flops += 3 * len(entries) * blk
+            flops += 2 * 4 * m2 * m2 * P
+            bytes_read += 2 * 4 * m2 * m2 * r * 4
+            detail[f"m2l_level_{lv}"] = "offsets"
+            continue
         if isinstance(E_l, dict):            # factored {patch?, W}
             W = E_l["W"]
             itemsize = W.dtype.itemsize
