@@ -399,10 +399,14 @@ class TransportSolver:
             phases[f"m2l{tag}_s"] = _time.time() - t0
             return out
 
-        from ..fmm.smooth import coarse_dense_bytes
+        from ..fmm.smooth import coarse_dense_bytes, _small_dense_xy
 
         f32_budget = None
-        fine_fb = "factored"
+        # single-device builds take the fast per-offset recompute fallback;
+        # sharded builds (declared by ANISO_DENSE_XY=0 / _SMALL_DENSE_XY,
+        # same switch as the xy-minor orientation) keep the GSPMD-safe
+        # factored patch form
+        fine_fb = "offsets" if _small_dense_xy() else "factored"
         if self.cfg.refine and self.cfg.refine_twin == "device":
             # EXACT headroom accounting (round-4 VERDICT item 1: the
             # guessed reserve pushed the 512^2 leaf factored and cost
@@ -413,7 +417,6 @@ class TransportSolver:
             # ANISO_HBM_CEILING_MB); fine levels that still don't fit
             # take the per-offset recompute path, not the 2x-slower
             # factored patch form.
-            fine_fb = "offsets"
             import os as _os
 
             ceiling = int(_os.environ.get(

@@ -93,7 +93,11 @@ def factored_solver():
         sing_rule=4, np_cheb=3, dtype="float32",
     )
     saved = smooth._DENSE_E_LEVEL_CAP_BYTES
+    saved_xy = smooth._SMALL_DENSE_XY
     smooth._DENSE_E_LEVEL_CAP_BYTES = 256 * 1024
+    # sharded build: factored fallback + 4D orientations (the per-offset
+    # and xy-minor forms are single-device representations)
+    smooth._SMALL_DENSE_XY = False
     try:
         s = TransportSolver(cfg, backend="fmm")
         g = s.grid
@@ -101,6 +105,7 @@ def factored_solver():
         s.set_coeff(sig, sig + 0.2)
     finally:
         smooth._DENSE_E_LEVEL_CAP_BYTES = saved
+        smooth._SMALL_DENSE_XY = saved_xy
     reprs = [isinstance(v, dict) for v in s._caches["m2l_E"].values()]
     assert any(reprs), "cap override failed to force a factored level"
     return s

@@ -230,6 +230,7 @@ def test_factored_fine_E_matches_dense(monkeypatch, cap):
     )
 
     monkeypatch.setattr(S, "_DENSE_E_LEVEL_CAP_BYTES", cap)
+    monkeypatch.setattr(S, "_SMALL_DENSE_XY", False)  # pin factored
     solver2 = TransportSolver(cfg, backend="fmm")
     solver2.set_coeff(sig_s, sig_t)
     assert any(
@@ -274,6 +275,7 @@ def test_pallas_factored_translate_matches_xla(monkeypatch):
     )
     rng = np.random.default_rng(5)
     monkeypatch.setattr(S, "_DENSE_E_LEVEL_CAP_BYTES", 0)
+    monkeypatch.setattr(S, "_SMALL_DENSE_XY", False)  # pin factored
     solver = TransportSolver(cfg, backend="fmm")
     g = solver.grid
     sig_s = 1.0 + rng.random(g.nodes_x.shape)
