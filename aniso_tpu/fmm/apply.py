@@ -214,32 +214,17 @@ _M2L_TRANSIENT_CAP_BYTES = (
     * 1024 * 1024
 )
 
-# Optional Pallas translate kernels (fmm.pallas_m2l): factored levels
-# form and kill E inside VMEM; dense levels read each E tile exactly
-# once.  Round-3 chip qualification (TPU v5e, 64^2/256^2): both kernels
-# are CORRECT on hardware (<=7e-8 vs XLA) but slower than the XLA paths
-# (256^2 all-dense: 7.6 ms XLA vs ~31 ms Pallas; factored: ~parity) --
-# XLA's transient traffic is cheaper than this kernel's per-step
-# overheads at these sizes, so the production default is the XLA path
-# with dense storage governed by the HBM budget (fmm.smooth).  Opt in
-# with ANISO_PALLAS_M2L=1 (interpret mode on CPU); f64 always XLA.
-import os as _os
-
-USE_PALLAS_M2L = _os.environ.get("ANISO_PALLAS_M2L", "0")
-
-# (the round-3 ANISO_M2L_DENSE_FUSED dense variant was retired in round
-# 4: both the dot_general and broadcast-reduce forms view E as
-# (..., r, ob) and force padded argument copies -- see the dense-path
-# note in _m2l_translate; the per-a slice form replaces both)
-
-
-def use_pallas_m2l() -> bool:
-    mode = USE_PALLAS_M2L
-    if mode in ("1", True):
-        return True
-    if mode == "auto":
-        return jax.default_backend() not in ("cpu",)
-    return False
+# (The round-3 Pallas translate kernels -- fmm.pallas_m2l, behind
+# ANISO_PALLAS_M2L -- were RETIRED in round 5.  Chip record, kept in
+# benchmarks/results_pallas_512.json: correct on hardware at <= 256^2
+# but slower than XLA everywhere (256^2 all-dense 7.6 ms XLA vs ~31 ms
+# Pallas), and Mosaic failed to legalize the 512^2 factored shapes.
+# The round-5 per-offset translate (_m2l_translate_offsets) then removed
+# the factored leaf from every single-device critical path, leaving the
+# kernels no job: the factored patch@W form survives only as the
+# GSPMD-sharded fallback, where the single-device Pallas kernels never
+# applied.  The round-3 ANISO_M2L_DENSE_FUSED dense variant was retired
+# in round 4 for forcing padded argument copies of flat-P views.)
 
 
 def _interleave_classes(outs, m2, r):
@@ -313,18 +298,6 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
         patch, W = E_l["patch"], E_l["W"]
         m2, P = patch.shape[1], W.shape[-1]
         itemsize = patch.dtype.itemsize
-        if use_pallas_m2l() and patch.dtype == jnp.float32:
-            from .pallas_m2l import m2l_translate_class_pallas
-
-            interpret = jax.default_backend() == "cpu"
-            r = P // gsel.shape[-1]
-            outs = [
-                m2l_translate_class_pallas(
-                    patch[c], W[c], cosr_l[c], gsel[c], interpret=interpret
-                )
-                for c in range(4)
-            ]
-            return _interleave_classes(outs, m2, r)
     else:
         # dense: E_l[c] is per-class -- y-minor 4D (m2, r, 27r, m2) for
         # lane-aligned m2, xy-minor 3D (r, 27r, m2*m2) for sub-128 m2
@@ -341,21 +314,6 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
         else:                              # stacked flat-P (m2, m2, P)
             P = E0.shape[-1]
         itemsize = E0.dtype.itemsize
-        if use_pallas_m2l() and E0.dtype == jnp.float32 \
-                and E0.ndim == 3 and E0.shape[0] == m2:
-            # (the opt-in Pallas dense kernel consumes the flat-P form
-            # only; per-class 4D storage takes the fused XLA path)
-            from .pallas_m2l import m2l_translate_class_dense_pallas
-
-            interpret = jax.default_backend() == "cpu"
-            r = P // gsel.shape[-1]
-            outs = [
-                m2l_translate_class_dense_pallas(
-                    E_l[c], cosr_l[c], gsel[c], interpret=interpret
-                )
-                for c in range(4)
-            ]
-            return _interleave_classes(outs, m2, r)
     ob = gsel.shape[-1]
     r = P // ob
 

@@ -127,9 +127,10 @@ def main():
         "matvec_ms": round(per * 1e3, 3),
         # bytes-streamed / FLOPs / %peak accounting (VERDICT r3 item 6)
         "roofline": roofline_summary(solver, per),
-        "m2l_translate_path": "pallas" if A.use_pallas_m2l() else "xla",
+        "m2l_translate_path": "xla",
         "level_repr": {
-            int(lv): ("factored" if isinstance(v, dict) else "dense")
+            int(lv): ("offsets" if isinstance(v, dict) and "Wo" in v
+                      else "factored" if isinstance(v, dict) else "dense")
             for lv, v in caches["m2l_E"].items()
         },
         "timing": timing_detail,

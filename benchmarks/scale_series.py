@@ -137,12 +137,11 @@ def run_one(sz, n_modes, g, tol, refine, np_cheb, matvec_reps, restart=80):
         "set_coeff_phases": getattr(solver, "set_coeff_phases", None),
         "roofline": roofline_summary(solver, matvec_s),
         "level_repr": {
-            int(lv): ("factored" if isinstance(v, dict) else "dense")
+            int(lv): ("offsets" if isinstance(v, dict) and "Wo" in v
+                      else "factored" if isinstance(v, dict) else "dense")
             for lv, v in caches["m2l_E"].items()
         },
-        "m2l_translate_path": (
-            "pallas" if A.use_pallas_m2l() else "xla"
-        ),
+        "m2l_translate_path": "xla",
         "refine_twin": cfg.refine_twin if refine else None,
         "timing": timing_detail,
     }

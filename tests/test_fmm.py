@@ -262,58 +262,6 @@ def test_m2l_translate_factored_chunked(monkeypatch):
     np.testing.assert_allclose(out2, ref, rtol=1e-12, atol=1e-12)
 
 
-def test_pallas_factored_translate_matches_xla(monkeypatch):
-    """Fused Pallas factored translate (interpret mode on CPU) == XLA path
-    through the full corrected matvec."""
-    import aniso_tpu.fmm.apply as A
-    import aniso_tpu.fmm.smooth as S
-
-    sz, deg = 16, 2
-    cfg = SolverConfig(
-        domain_size=sz, quad_rule=deg, kernel_size=1, g=0.5,
-        sing_rule=6, np_cheb=4, dtype="float32",
-    )
-    rng = np.random.default_rng(5)
-    monkeypatch.setattr(S, "_DENSE_E_LEVEL_CAP_BYTES", 0)
-    monkeypatch.setattr(S, "_SMALL_DENSE_XY", False)  # pin factored
-    solver = TransportSolver(cfg, backend="fmm")
-    g = solver.grid
-    sig_s = 1.0 + rng.random(g.nodes_x.shape)
-    solver.set_coeff(sig_s, sig_s + 0.3)
-    u = jnp.asarray(rng.random(g.nodes_x.shape), jnp.float32)
-    ref = np.asarray(solver.apply_mode(0, u))
-    monkeypatch.setattr(A, "USE_PALLAS_M2L", True)
-    solver._make_fmm_jits()   # retrace with the Pallas route
-    out = np.asarray(solver.apply_mode(0, u))
-    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
-
-
-def test_pallas_dense_translate_matches_xla(monkeypatch):
-    """Fused Pallas dense translate (interpret mode on CPU) == XLA path
-    through the full corrected matvec (dense E caches, no cap override)."""
-    import aniso_tpu.fmm.apply as A
-
-    sz, deg = 16, 2
-    cfg = SolverConfig(
-        domain_size=sz, quad_rule=deg, kernel_size=1, g=0.5,
-        sing_rule=6, np_cheb=4, dtype="float32",
-    )
-    rng = np.random.default_rng(6)
-    solver = TransportSolver(cfg, backend="fmm")
-    g = solver.grid
-    sig_s = 1.0 + rng.random(g.nodes_x.shape)
-    solver.set_coeff(sig_s, sig_s + 0.3)
-    assert not any(
-        isinstance(v, dict) for v in solver._caches["m2l_E"].values()
-    ), "test expects dense-stored fine levels"
-    u = jnp.asarray(rng.random(g.nodes_x.shape), jnp.float32)
-    ref = np.asarray(solver.apply_mode(0, u))
-    monkeypatch.setattr(A, "USE_PALLAS_M2L", True)
-    solver._make_fmm_jits()   # retrace with the Pallas route
-    out = np.asarray(solver.apply_mode(0, u))
-    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-7)
-
-
 def test_yminor_dense_orientation_matches_rowmajor(monkeypatch):
     """The y-minor (m2, r, 27r, m2) dense orientation (production at
     m2 >= 128, where it is byte-compact and layout-deterministic on TPU)
