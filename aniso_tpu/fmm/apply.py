@@ -300,18 +300,15 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
         itemsize = patch.dtype.itemsize
     else:
         # dense: E_l[c] is per-class -- y-minor 4D (m2, r, 27r, m2) for
-        # lane-aligned m2, xy-minor 3D (r, 27r, m2*m2) for sub-128 m2
-        # with lane-aligned m2^2, row-major 4D (m2, m2, r, 27r) otherwise
-        # (fmm.smooth.build_m2l_E_fine) -- or a stacked (4, m2, m2, P)
-        # flat-P array (coarse levels and the numpy host twin)
+        # lane-aligned m2, flat 3D (m2, m2, P) otherwise (fmm.smooth.
+        # build_m2l_E_fine) -- or a stacked (4, m2, m2, P) flat-P array
+        # (coarse levels and the numpy host twin)
         E0 = E_l[0]
         m2 = gsel.shape[1]
         if E0.ndim == 4:
             P = (E0.shape[1] * E0.shape[2]) if E0.shape[-1] == E0.shape[0] \
                 else (E0.shape[2] * E0.shape[3])
-        elif E0.shape[0] != m2:            # xy-minor (r, 27r, m2*m2)
-            P = E0.shape[0] * E0.shape[1]
-        else:                              # stacked flat-P (m2, m2, P)
+        else:                              # flat (m2, m2, P)
             P = E0.shape[-1]
         itemsize = E0.dtype.itemsize
     ob = gsel.shape[-1]
@@ -354,19 +351,19 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
                     * gt[:, None, :, :]
                 outs.append(jnp.transpose(jnp.sum(op, axis=2), (0, 2, 1)))
                 continue
-            if E4.ndim == 3 and E4.shape[0] != m2:
-                # xy-minor orientation (r, ob, m2*m2): reduce over ob
-                # (dim 1), boxes ride the lane axis
-                gt = jnp.transpose(gsel[c].reshape(m2 * m2, ob), (1, 0))
-                op = jnp.exp(-(E4 + z)) * cos4[:, :, None] * gt[None]
-                outs.append(
-                    jnp.transpose(jnp.sum(op, axis=1), (1, 0)).reshape(
-                        m2, m2, r
-                    )
-                )
+            if E4.ndim == 3:
+                # flat (m2, m2, P): exp/cos consume the argument in its
+                # aligned at-rest layout; only the fused TEMP is viewed
+                # (m2, m2, r, ob) -- an argument view of the unaligned
+                # (r, 27r) split would force a padded copy (round-4
+                # forensics).  This is the round-3 small-level fast path
+                # (0.332 ms 64^2) and also serves the stacked coarse
+                # levels and the numpy host twin.
+                op = (
+                    jnp.exp(-(E4 + z)) * cosr_l[c]
+                ).reshape(m2, m2, r, ob)
+                outs.append(jnp.sum(op * gsel[c][:, :, None, :], axis=-1))
                 continue
-            if E4.ndim == 3:      # stacked host-twin form: free view on CPU
-                E4 = E4.reshape(m2, m2, r, ob)
             op = jnp.exp(-(E4 + z)) * cos4 * gsel[c][:, :, None, :]
             outs.append(jnp.sum(op, axis=-1))
         return _interleave_classes(outs, m2, r)

@@ -309,29 +309,33 @@ def build_m2l_E_fine(
             # forensics; the remote compile helper is not deterministic
             # across processes).  Requires m2 lane-aligned.
             E4 = jnp.transpose(E4, (0, 2, 3, 1))
-        elif _small_dense_xy() and (m2 * m2) % _DENSE_LANE_ALIGN == 0:
-            # xy-MINOR orientation (r, 27r, m2*m2) for the sub-128 m2
-            # levels (64^2/128^2 leaves): the flattened box axis is
-            # lane-aligned and 27r sits on the (mult-of-8) sublane axis
-            # -- ZERO padding, where the row-major fallback pays +18.5%
-            # lane pad and taxed the 64^2 headline matvec 7% (round-4
-            # VERDICT item 4).  Single-device storage only: merging the
-            # two spatial dims defeats GSPMD spatial sharding (the
-            # sharded fixtures set _SMALL_DENSE_XY off).
-            E4 = jnp.transpose(E4.reshape(m2 * m2, r, ob), (1, 2, 0))
-        # else: row-major (m2, m2, r, 27r); the 27r lane dim pads to 512
-        # (+18.5%) and a worst-case in-program re-lay of such a small
-        # block is affordable
+        else:
+            # FLAT orientation (m2, m2, P): P = r*27r is an exact lane
+            # multiple (6912 = 54*128 for np_cheb 4), so sub-128-m2
+            # levels store with ZERO padding.  The apply does exp/cos on
+            # the flat form and reshapes only the fused TEMP (never the
+            # argument -- a (.., r, 27r) argument view can't be a
+            # bitcast under TPU tiling).  This is the round-3 layout:
+            # 0.332 ms at 64^2; the round-4 row-major 4D form padded
+            # +18.5% and taxed the 64^2 headline 7% (VERDICT item 4),
+            # and the round-5 xy-minor (r, 27r, m2^2) experiment
+            # measured slower still (1.99 vs 1.48 ms at 128^2).
+            E4 = E4.reshape(m2, m2, -1)
         out.append(E4)
     return tuple(out)
 
 
-def _small_dense_xy() -> bool:
-    return _os.environ.get("ANISO_DENSE_XY", "1") != "0" and _SMALL_DENSE_XY
+def unsharded_build() -> bool:
+    """True when caches are built for single-device use: fine levels
+    evicted from the dense budget then take the fast per-offset
+    recompute form (its strided window extraction would re-gather a
+    GSPMD-sharded field).  Sharded builders/fixtures declare themselves
+    with ANISO_UNSHARDED=0 (env) or _UNSHARDED_BUILD=False and keep the
+    GSPMD-safe factored patch fallback."""
+    return _os.environ.get("ANISO_UNSHARDED", "1") != "0" and _UNSHARDED_BUILD
 
 
-# test/fixture override knob (env ANISO_DENSE_XY=0 for sharded runs)
-_SMALL_DENSE_XY = True
+_UNSHARDED_BUILD = True
 
 
 @functools.lru_cache(maxsize=None)
@@ -502,6 +506,48 @@ def mirror_fill_coarse(E6: np.ndarray) -> None:
 # (r^2 pairs x bounding-box cells x nq, f64) -- beyond it (B >= 64) the
 # native per-pair engine takes over (few boxes there)
 _COARSE_DGEMM_MAX_W_BLOCK_BYTES = 400 * 1024 * 1024
+
+# cap on a LEVEL's total per-offset W bytes for the DEVICE dgemm path.
+# The W tables scale as B^2 per cell count: at 512^2 deg 3 np_cheb 4 the
+# B=32 level alone is 3.17 GB and B=16 is 0.79 GB of f64 weights --
+# re-uploading them through the axon tunnel on EVERY set_coeff call both
+# cost ~8 s/call at healthy bandwidth and progressively degraded the
+# tunnel (measured round 5: warm 512^2 set_coeff 7.6 -> 24.0 -> 41.4 s
+# over three back-to-back calls, all in coarse_s, with live buffers
+# constant; results_warm_degrade.json).  W-heavy levels now run the HOST
+# dgemm (same flops, zero upload; they overlap the device dispatch), and
+# the W-light device levels cache their weights ON DEVICE for the
+# process (sigma-independent; ~0.25 GB at deg 3 np_cheb 4).
+import os as _os  # noqa: E402  (also imported below for the dense caps)
+
+_COARSE_DEVICE_MAX_W_LEVEL_BYTES = (
+    int(_os.environ.get("ANISO_COARSE_DEVICE_W_MB", 400)) * 1024 * 1024
+)
+
+_DEVICE_W_CACHE: dict = {}
+
+
+def _coarse_level_W_bytes(deg: int, np_cheb: int, B: int) -> int:
+    """Total f64 bytes of the distinct canonical per-offset W blocks."""
+    _, keys, _ = _fine_offset_entries(np_cheb)
+    r2 = (np_cheb * np_cheb) ** 2
+    return sum(
+        r2 * ((abs(di) + 1) * B) * ((abs(dj) + 1) * B) * deg * deg * 8
+        for (di, dj) in keys
+    )
+
+
+def _coarse_offset_weight_device(deg: int, np_cheb: int, B: int,
+                                 di: int, dj: int) -> jnp.ndarray:
+    """Device-resident f64 W block, uploaded once per process."""
+    key = (deg, np_cheb, B, di, dj)
+    W = _DEVICE_W_CACHE.get(key)
+    if W is None:
+        W = jnp.asarray(
+            _coarse_offset_weight_cached(deg, np_cheb, B, di, dj)[0]
+        )
+        _DEVICE_W_CACHE[key] = W
+    return W
 
 
 @functools.lru_cache(maxsize=None)
@@ -697,10 +743,11 @@ def build_m2l_E_coarse_device(
         np.asarray(coeffs_np, np.float64),
         ((3 * B, 4 * B), (3 * B, 4 * B), (0, 0)),
     ))
+    # W blocks are sigma-independent: device-resident for the process
+    # (re-uploading GBs per set_coeff degraded the tunnel; see
+    # _COARSE_DEVICE_MAX_W_LEVEL_BYTES)
     Ws = tuple(
-        jnp.asarray(
-            _coarse_offset_weight_cached(grid.deg, np_cheb, B, di, dj)[0]
-        )
+        _coarse_offset_weight_device(grid.deg, np_cheb, B, di, dj)
         for (di, dj) in keys
     )
     return fn(pad, Ws, jnp.float64(grid.dx))
@@ -879,18 +926,19 @@ def fine_dense_level_bytes(m2: int, np_cheb: int, itemsize: int) -> int:
     """Real HBM footprint of one fine dense level stored per class.
 
     m2 lane-aligned (>= 128): the y-minor (m2, r, 27r, m2) orientation,
-    ZERO padding.  Sub-128 m2 with lane-aligned m2^2: the xy-minor
-    (r, 27r, m2*m2) orientation, also ZERO padding.  Remaining tiny
-    levels: the row-major (m2, m2, r, 27r) orientation, whose 27r lane
-    dim pads to the 128 tile (432 -> 512 for np_cheb 4; +18.5%).  The
-    budget and the cap count what the chip actually allocates
-    (build_m2l_E_fine chooses the same way)."""
+    ZERO padding.  Smaller levels: the flat (m2, m2, r*27r) orientation
+    -- the lane dim P is an exact 128 multiple, so the only padding is
+    the second-minor m2 rounding to the 8-sublane tile (tiny levels
+    only).  The budget and the cap count what the chip actually
+    allocates (build_m2l_E_fine chooses the same way)."""
     r = np_cheb * np_cheb
-    if m2 % _DENSE_LANE_ALIGN == 0 or (
-        _small_dense_xy() and (m2 * m2) % _DENSE_LANE_ALIGN == 0
-    ):
-        return 4 * m2 * m2 * r * (27 * r) * itemsize
-    return 4 * m2 * m2 * _roundup(r, 8) * _roundup(27 * r, 128) * itemsize
+    if m2 % _DENSE_LANE_ALIGN == 0:
+        # y-minor (m2, r, 27r, m2): minor m2 lane-aligned by the branch,
+        # second-minor 27r rounds to the 8-sublane tile
+        return 4 * m2 * r * _roundup(27 * r, 8) * m2 * itemsize
+    # flat (m2, m2, P): P = r*27r is lane-exact at np_cheb 4 (6912 =
+    # 54*128) and within ~5% otherwise; second-minor m2 rounds to 8
+    return 4 * m2 * _roundup(m2, 8) * _roundup(r * 27 * r, 128) * itemsize
 
 
 def coarse_m2l_levels(tcfg: TreeConfig) -> list:
@@ -942,18 +990,27 @@ def build_m2l_E_coarse_all(
     out = {}
     host_levels = []
     for lv in coarse_m2l_levels(tcfg):
-        if use_dev and _coarse_dgemm_eligible(grid, tcfg, lv, np_cheb):
+        B = tcfg.box_size_squares(lv)
+        if (
+            use_dev
+            and _coarse_dgemm_eligible(grid, tcfg, lv, np_cheb)
+            and _coarse_level_W_bytes(grid.deg, np_cheb, B)
+            <= _COARSE_DEVICE_MAX_W_LEVEL_BYTES
+        ):
             out[lv] = build_m2l_E_coarse_device(
                 grid, tcfg, lv, np_cheb, coeffs_np
             )
         else:
+            # W-heavy dgemm levels run the HOST dgemm (same quadrature,
+            # zero tunnel upload), the very coarse few-box levels the
+            # per-pair engine; both overlap the async device dispatch
             host_levels.append(lv)
     if host_levels:
         path = "native-openmp"
         from .. import native
         if not native.available():
             path = "jax-chunked"
-        log.info(f"m2l E coarse per-pair levels {host_levels}: {path}")
+        log.info(f"m2l E coarse host levels {host_levels}: dgemm-or-{path}")
     for lv in host_levels:
         out[lv] = build_m2l_E_coarse_np(
             grid, tcfg, lv, np_cheb, None, coeffs_np=coeffs_np

@@ -94,10 +94,12 @@ def shard_pytree(mesh: Mesh, tree):
             # (fmm.smooth.build_m2l_E_fine)
             if leaf.startswith("["):
                 if x.ndim == 3:
-                    # xy-minor small-level block (r, 27r, m2*m2): the
-                    # merged box axis defeats 2D spatial sharding --
-                    # replicate (small by construction; sharded builds
-                    # set ANISO_DENSE_XY=0 to keep 4D orientations)
+                    # flat small-level block (m2, m2, P): spatial dims
+                    # 0, 1 (fmm.smooth.build_m2l_E_fine)
+                    if _divisible(x.shape, mesh, 0, 1):
+                        return jax.device_put(
+                            x, NamedSharding(mesh, P("x", "y", None))
+                        )
                     return replicate(mesh, x)
                 if x.ndim == 4 and x.shape[-1] == x.shape[0]:
                     if _divisible(x.shape, mesh, 0, 3):
@@ -183,7 +185,8 @@ def sharded_solver(solver, mesh: Mesh, halo: str = "gspmd"):
 
         mx, my = mesh.shape["x"], mesh.shape["y"]
         tr_fns = {
-            ym: make_fine_translate_shardmap(mesh, ym) for ym in (True, False)
+            o: make_fine_translate_shardmap(mesh, o)
+            for o in ("y_minor", "flat")
         }
         near_fns = [
             make_near_apply_shardmap(mesh, m, ms.get("duffy") is not None)
@@ -193,18 +196,23 @@ def sharded_solver(solver, mesh: Mesh, halo: str = "gspmd"):
         def translate_fn(level, E_l, cosr_l, M_l, z):
             # hand path takes fine DENSE per-class levels whose box plane
             # divides the mesh; everything else falls back to GSPMD
-            if not isinstance(E_l, tuple) or E_l[0].ndim != 4:
-                return None             # factored / offsets / xy-minor
+            if not isinstance(E_l, tuple):
+                return None             # factored / offsets forms
             m2 = E_l[0].shape[0]
             m = M_l.shape[0]
             if m % (2 * mx) or M_l.shape[1] % (2 * my) or m2 % mx:
                 return None
-            y_minor = E_l[0].shape[-1] == m2
-            if y_minor and m2 % my:
+            if E_l[0].ndim == 4 and E_l[0].shape[-1] == m2:
+                orient = "y_minor"
+                if m2 % my:
+                    return None
+            elif E_l[0].ndim == 3:
+                orient = "flat"
+                if E_l[0].shape[1] % my:
+                    return None
+            else:
                 return None
-            if not y_minor and E_l[0].shape[1] % my:
-                return None
-            return tr_fns[y_minor](E_l, cosr_l, M_l, z)
+            return tr_fns[orient](E_l, cosr_l, M_l, z)
 
         def near_fn(cch, ms, mode, u, z):
             if "near_E" not in cch:

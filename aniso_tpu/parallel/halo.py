@@ -103,7 +103,7 @@ def make_near_apply_shardmap(mesh: Mesh, mode: int, has_duffy: bool):
     return f
 
 
-def make_fine_translate_shardmap(mesh: Mesh, y_minor: bool):
+def make_fine_translate_shardmap(mesh: Mesh, orient: str):
     """Hand-scheduled M2L at one fine DENSE level: the parity-plane V-list
     halo exchange as explicit `ppermute`s inside shard_map, then the same
     fused exp(-E) * cos/r multiply-reduce as fmm.apply._m2l_translate on
@@ -116,9 +116,10 @@ def make_fine_translate_shardmap(mesh: Mesh, y_minor: bool):
     ppermutes, translate the interior boxes, then the halo-dependent ring).
 
     Returns f(E4_tuple, cosr_l, M_l, z) -> T (m, m, r) sharded P("x","y"):
-      E4_tuple: 4 per-class dense blocks -- y-minor (m2, r, 27r, m2)
-        sharded P("x", None, None, "y") or row-major (m2, m2, r, 27r)
-        sharded P("x", "y", None, None) (fmm.smooth.build_m2l_E_fine);
+      E4_tuple: 4 per-class dense blocks -- orient='y_minor':
+        (m2, r, 27r, m2) sharded P("x", None, None, "y"); orient='flat':
+        (m2, m2, P) sharded P("x", "y", None)
+        (fmm.smooth.build_m2l_E_fine);
       cosr_l: (4, r*27*r) replicated; M_l: (m, m, r) sharded P("x","y").
 
     The local interleave of the 4 class blocks reproduces exactly the
@@ -158,14 +159,16 @@ def make_fine_translate_shardmap(mesh: Mesh, y_minor: bool):
             ).reshape(l2x, l2y, 27 * r)
             E4 = E4s[c]
             cos4 = cosr[c].reshape(r, ob)
-            if y_minor:
+            if orient == "y_minor":
                 gt = jnp.transpose(gsel, (0, 2, 1))
                 op = jnp.exp(-(E4 + z)) * cos4[None, :, :, None] \
                     * gt[:, None, :, :]
                 outs.append(jnp.transpose(jnp.sum(op, axis=2), (0, 2, 1)))
-            else:
-                op = jnp.exp(-(E4 + z)) * cos4 * gsel[:, :, None, :]
-                outs.append(jnp.sum(op, axis=-1))
+            else:                           # flat (lm2x, lm2y, P)
+                op = (jnp.exp(-(E4 + z)) * cosr[c]).reshape(
+                    l2x, l2y, r, ob
+                )
+                outs.append(jnp.sum(op * gsel[:, :, None, :], axis=-1))
         return (
             jnp.stack(outs)
             .reshape(2, 2, l2x, l2y, r)
@@ -174,7 +177,8 @@ def make_fine_translate_shardmap(mesh: Mesh, y_minor: bool):
         )
 
     E_spec = (
-        P("x", None, None, "y") if y_minor else P("x", "y", None, None)
+        P("x", None, None, "y") if orient == "y_minor"
+        else P("x", "y", None)
     )
     return shard_map(
         local,

@@ -399,14 +399,14 @@ class TransportSolver:
             phases[f"m2l{tag}_s"] = _time.time() - t0
             return out
 
-        from ..fmm.smooth import coarse_dense_bytes, _small_dense_xy
+        from ..fmm.smooth import coarse_dense_bytes, unsharded_build
 
         f32_budget = None
         # single-device builds take the fast per-offset recompute fallback;
-        # sharded builds (declared by ANISO_DENSE_XY=0 / _SMALL_DENSE_XY,
+        # sharded builds (declared by ANISO_UNSHARDED=0 / _UNSHARDED_BUILD,
         # same switch as the xy-minor orientation) keep the GSPMD-safe
         # factored patch form
-        fine_fb = "offsets" if _small_dense_xy() else "factored"
+        fine_fb = "offsets" if unsharded_build() else "factored"
         if self.cfg.refine and self.cfg.refine_twin == "device":
             # EXACT headroom accounting (round-4 VERDICT item 1: the
             # guessed reserve pushed the 512^2 leaf factored and cost

@@ -17,8 +17,8 @@ import argparse
 import json
 import os
 # sharded benchmarks: 4D dense orientations only (the xy-minor small-
-# level form cannot shard spatially; fmm.smooth._small_dense_xy)
-os.environ.setdefault("ANISO_DENSE_XY", "0")
+# level form cannot shard spatially; fmm.smooth.unsharded_build)
+os.environ.setdefault("ANISO_UNSHARDED", "0")
 import sys
 import time
 

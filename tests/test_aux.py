@@ -186,9 +186,9 @@ def test_roofline_accounting():
 
     def build(cap):
         saved = S._DENSE_E_LEVEL_CAP_BYTES
-        saved_xy = S._SMALL_DENSE_XY
+        saved_xy = S._UNSHARDED_BUILD
         S._DENSE_E_LEVEL_CAP_BYTES = cap
-        S._SMALL_DENSE_XY = False   # pin the factored fallback + 4D forms
+        S._UNSHARDED_BUILD = False   # pin the factored fallback + 4D forms
         try:
             cfg = SolverConfig(
                 domain_size=16, quad_rule=2, kernel_size=1, g=0.5,
@@ -200,7 +200,7 @@ def test_roofline_accounting():
             s.set_coeff(sig, sig + 0.2)
         finally:
             S._DENSE_E_LEVEL_CAP_BYTES = saved
-            S._SMALL_DENSE_XY = saved_xy
+            S._UNSHARDED_BUILD = saved_xy
         return s
 
     dense = matvec_costs(build(2 * 1024 ** 3))

@@ -47,12 +47,12 @@ def sharded_matvec():
     sig = 8 * 0.5 * (1 - np.cos(2 * np.pi * g.nodes_x))
     # sharded build: keep 4D dense orientations (the xy-minor merged box
     # axis cannot shard spatially and would break the O(halo) gates)
-    saved = smooth._SMALL_DENSE_XY
-    smooth._SMALL_DENSE_XY = False
+    saved = smooth._UNSHARDED_BUILD
+    smooth._UNSHARDED_BUILD = False
     try:
         s.set_coeff(sig, sig + 0.2)
     finally:
-        smooth._SMALL_DENSE_XY = saved
+        smooth._UNSHARDED_BUILD = saved
     mesh = make_mesh()
     apply_fn, caches, mode_statics = sharded_solver(s, mesh)
     u = shard_field(mesh, jnp.asarray(np.random.default_rng(0).random((32, 32, 4)), jnp.float32))
@@ -93,11 +93,11 @@ def factored_solver():
         sing_rule=4, np_cheb=3, dtype="float32",
     )
     saved = smooth._DENSE_E_LEVEL_CAP_BYTES
-    saved_xy = smooth._SMALL_DENSE_XY
+    saved_xy = smooth._UNSHARDED_BUILD
     smooth._DENSE_E_LEVEL_CAP_BYTES = 256 * 1024
     # sharded build: factored fallback + 4D orientations (the per-offset
     # and xy-minor forms are single-device representations)
-    smooth._SMALL_DENSE_XY = False
+    smooth._UNSHARDED_BUILD = False
     try:
         s = TransportSolver(cfg, backend="fmm")
         g = s.grid
@@ -105,7 +105,7 @@ def factored_solver():
         s.set_coeff(sig, sig + 0.2)
     finally:
         smooth._DENSE_E_LEVEL_CAP_BYTES = saved
-        smooth._SMALL_DENSE_XY = saved_xy
+        smooth._UNSHARDED_BUILD = saved_xy
     reprs = [isinstance(v, dict) for v in s._caches["m2l_E"].values()]
     assert any(reprs), "cap override failed to force a factored level"
     return s

@@ -230,7 +230,7 @@ def test_factored_fine_E_matches_dense(monkeypatch, cap):
     )
 
     monkeypatch.setattr(S, "_DENSE_E_LEVEL_CAP_BYTES", cap)
-    monkeypatch.setattr(S, "_SMALL_DENSE_XY", False)  # pin factored
+    monkeypatch.setattr(S, "_UNSHARDED_BUILD", False)  # pin factored
     solver2 = TransportSolver(cfg, backend="fmm")
     solver2.set_coeff(sig_s, sig_t)
     assert any(
@@ -287,14 +287,13 @@ def test_yminor_dense_orientation_matches_rowmajor(monkeypatch):
     rng = np.random.default_rng(5)
     v = jnp.asarray(rng.standard_normal((32, 32, 4)), jnp.float32)
 
-    monkeypatch.setattr(S, "_SMALL_DENSE_XY", False)
-    s_row = build()                        # m2 in {4, 8, 16} -> row-major
+    s_flat = build()                       # m2 in {4, 8, 16} -> flat 3D
     assert all(
-        b.ndim == 4 and b.shape[-1] != b.shape[0]
-        for lv, blocks in s_row._caches["m2l_E"].items()
+        b.ndim == 3
+        for lv, blocks in s_flat._caches["m2l_E"].items()
         if isinstance(blocks, tuple) for b in blocks
     )
-    ref = np.asarray(s_row.apply_mode(0, v))
+    ref = np.asarray(s_flat.apply_mode(0, v))
 
     monkeypatch.setattr(S, "_DENSE_LANE_ALIGN", 8)
     s_ym = build()                         # leaf m2=16 -> y-minor
@@ -304,19 +303,6 @@ def test_yminor_dense_orientation_matches_rowmajor(monkeypatch):
         if isinstance(blocks, tuple) for b in blocks
     )
     out = np.asarray(s_ym.apply_mode(0, v))
-    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-7)
-
-    # and the xy-minor (r, 27r, m2*m2) small-level orientation (the
-    # 64^2/128^2 production leaves; round-4 VERDICT item 4)
-    monkeypatch.setattr(S, "_DENSE_LANE_ALIGN", 128)
-    monkeypatch.setattr(S, "_SMALL_DENSE_XY", True)
-    s_xy = build()                         # leaf m2=16 -> xy-minor
-    assert any(
-        b.ndim == 3
-        for lv, blocks in s_xy._caches["m2l_E"].items()
-        if isinstance(blocks, tuple) for b in blocks
-    )
-    out = np.asarray(s_xy.apply_mode(0, v))
     np.testing.assert_allclose(out, ref, rtol=2e-6, atol=1e-7)
 
 

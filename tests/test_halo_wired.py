@@ -28,11 +28,11 @@ def _build_solver(lane_align=None):
         sing_rule=4, np_cheb=3, dtype="float32",
     )
     saved = smooth._DENSE_LANE_ALIGN
-    saved_xy = smooth._SMALL_DENSE_XY
+    saved_xy = smooth._UNSHARDED_BUILD
     if lane_align is not None:
         smooth._DENSE_LANE_ALIGN = lane_align
     # sharded build: 4D orientations only (xy-minor cannot shard)
-    smooth._SMALL_DENSE_XY = False
+    smooth._UNSHARDED_BUILD = False
     try:
         s = TransportSolver(cfg, backend="fmm")
         g = s.grid
@@ -40,7 +40,7 @@ def _build_solver(lane_align=None):
         s.set_coeff(sig, sig + 0.2)
     finally:
         smooth._DENSE_LANE_ALIGN = saved
-        smooth._SMALL_DENSE_XY = saved_xy
+        smooth._UNSHARDED_BUILD = saved_xy
     return s
 
 
