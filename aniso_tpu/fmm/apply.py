@@ -351,19 +351,8 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
                     * gt[:, None, :, :]
                 outs.append(jnp.transpose(jnp.sum(op, axis=2), (0, 2, 1)))
                 continue
-            if E4.ndim == 3:
-                # flat (m2, m2, P): exp/cos consume the argument in its
-                # aligned at-rest layout; only the fused TEMP is viewed
-                # (m2, m2, r, ob) -- an argument view of the unaligned
-                # (r, 27r) split would force a padded copy (round-4
-                # forensics).  This is the round-3 small-level fast path
-                # (0.332 ms 64^2) and also serves the stacked coarse
-                # levels and the numpy host twin.
-                op = (
-                    jnp.exp(-(E4 + z)) * cosr_l[c]
-                ).reshape(m2, m2, r, ob)
-                outs.append(jnp.sum(op * gsel[c][:, :, None, :], axis=-1))
-                continue
+            if E4.ndim == 3:      # stacked coarse / host-twin flat form
+                E4 = E4.reshape(m2, m2, r, ob)
             op = jnp.exp(-(E4 + z)) * cos4 * gsel[c][:, :, None, :]
             outs.append(jnp.sum(op, axis=-1))
         return _interleave_classes(outs, m2, r)

@@ -309,18 +309,15 @@ def build_m2l_E_fine(
             # forensics; the remote compile helper is not deterministic
             # across processes).  Requires m2 lane-aligned.
             E4 = jnp.transpose(E4, (0, 2, 3, 1))
-        else:
-            # FLAT orientation (m2, m2, P): P = r*27r is an exact lane
-            # multiple (6912 = 54*128 for np_cheb 4), so sub-128-m2
-            # levels store with ZERO padding.  The apply does exp/cos on
-            # the flat form and reshapes only the fused TEMP (never the
-            # argument -- a (.., r, 27r) argument view can't be a
-            # bitcast under TPU tiling).  This is the round-3 layout:
-            # 0.332 ms at 64^2; the round-4 row-major 4D form padded
-            # +18.5% and taxed the 64^2 headline 7% (VERDICT item 4),
-            # and the round-5 xy-minor (r, 27r, m2^2) experiment
-            # measured slower still (1.99 vs 1.48 ms at 128^2).
-            E4 = E4.reshape(m2, m2, -1)
+        # else: row-major (m2, m2, r, 27r); the 27r lane dim pads to 512
+        # (+18.5% at rest) -- measured FASTEST for sub-128 m2 on chip.
+        # Round-5 A/B on hardware (results_scale r5-f32 runs): the
+        # zero-padding alternatives both lost -- xy-minor (r, 27r, m2^2)
+        # 1.99 ms and flat (m2, m2, P) 2.99 ms vs row-major 1.48 ms at
+        # 128^2 (flat's exp temp must be re-laid (.., r, 27r) before the
+        # reduce, costing more than the at-rest pad it saves).  At these
+        # sizes the matvec runs ~30-50% of HBM peak, so at-rest padding
+        # is not the binding constraint.
         out.append(E4)
     return tuple(out)
 
@@ -926,19 +923,17 @@ def fine_dense_level_bytes(m2: int, np_cheb: int, itemsize: int) -> int:
     """Real HBM footprint of one fine dense level stored per class.
 
     m2 lane-aligned (>= 128): the y-minor (m2, r, 27r, m2) orientation,
-    ZERO padding.  Smaller levels: the flat (m2, m2, r*27r) orientation
-    -- the lane dim P is an exact 128 multiple, so the only padding is
-    the second-minor m2 rounding to the 8-sublane tile (tiny levels
-    only).  The budget and the cap count what the chip actually
-    allocates (build_m2l_E_fine chooses the same way)."""
+    ZERO padding.  Smaller levels: the row-major (m2, m2, r, 27r)
+    orientation, whose 27r lane dim pads to the 128 tile (432 -> 512
+    for np_cheb 4; +18.5%) -- measured fastest on chip at these sizes
+    (see build_m2l_E_fine).  The budget and the cap count what the chip
+    actually allocates."""
     r = np_cheb * np_cheb
     if m2 % _DENSE_LANE_ALIGN == 0:
         # y-minor (m2, r, 27r, m2): minor m2 lane-aligned by the branch,
         # second-minor 27r rounds to the 8-sublane tile
         return 4 * m2 * r * _roundup(27 * r, 8) * m2 * itemsize
-    # flat (m2, m2, P): P = r*27r is lane-exact at np_cheb 4 (6912 =
-    # 54*128) and within ~5% otherwise; second-minor m2 rounds to 8
-    return 4 * m2 * _roundup(m2, 8) * _roundup(r * 27 * r, 128) * itemsize
+    return 4 * m2 * m2 * _roundup(r, 8) * _roundup(27 * r, 128) * itemsize
 
 
 def coarse_m2l_levels(tcfg: TreeConfig) -> list:

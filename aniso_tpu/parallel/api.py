@@ -93,14 +93,6 @@ def shard_pytree(mesh: Mesh, tree):
             # row-major (m2, m2, r, 27r) -> spatial dims 0, 1
             # (fmm.smooth.build_m2l_E_fine)
             if leaf.startswith("["):
-                if x.ndim == 3:
-                    # flat small-level block (m2, m2, P): spatial dims
-                    # 0, 1 (fmm.smooth.build_m2l_E_fine)
-                    if _divisible(x.shape, mesh, 0, 1):
-                        return jax.device_put(
-                            x, NamedSharding(mesh, P("x", "y", None))
-                        )
-                    return replicate(mesh, x)
                 if x.ndim == 4 and x.shape[-1] == x.shape[0]:
                     if _divisible(x.shape, mesh, 0, 3):
                         return jax.device_put(
@@ -186,7 +178,7 @@ def sharded_solver(solver, mesh: Mesh, halo: str = "gspmd"):
         mx, my = mesh.shape["x"], mesh.shape["y"]
         tr_fns = {
             o: make_fine_translate_shardmap(mesh, o)
-            for o in ("y_minor", "flat")
+            for o in ("y_minor", "row")
         }
         near_fns = [
             make_near_apply_shardmap(mesh, m, ms.get("duffy") is not None)
@@ -202,16 +194,16 @@ def sharded_solver(solver, mesh: Mesh, halo: str = "gspmd"):
             m = M_l.shape[0]
             if m % (2 * mx) or M_l.shape[1] % (2 * my) or m2 % mx:
                 return None
-            if E_l[0].ndim == 4 and E_l[0].shape[-1] == m2:
+            if E_l[0].ndim != 4:
+                return None
+            if E_l[0].shape[-1] == m2:
                 orient = "y_minor"
                 if m2 % my:
                     return None
-            elif E_l[0].ndim == 3:
-                orient = "flat"
+            else:
+                orient = "row"
                 if E_l[0].shape[1] % my:
                     return None
-            else:
-                return None
             return tr_fns[orient](E_l, cosr_l, M_l, z)
 
         def near_fn(cch, ms, mode, u, z):

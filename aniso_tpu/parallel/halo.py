@@ -117,8 +117,8 @@ def make_fine_translate_shardmap(mesh: Mesh, orient: str):
 
     Returns f(E4_tuple, cosr_l, M_l, z) -> T (m, m, r) sharded P("x","y"):
       E4_tuple: 4 per-class dense blocks -- orient='y_minor':
-        (m2, r, 27r, m2) sharded P("x", None, None, "y"); orient='flat':
-        (m2, m2, P) sharded P("x", "y", None)
+        (m2, r, 27r, m2) sharded P("x", None, None, "y"); orient='row':
+        (m2, m2, r, 27r) sharded P("x", "y", None, None)
         (fmm.smooth.build_m2l_E_fine);
       cosr_l: (4, r*27*r) replicated; M_l: (m, m, r) sharded P("x","y").
 
@@ -164,11 +164,9 @@ def make_fine_translate_shardmap(mesh: Mesh, orient: str):
                 op = jnp.exp(-(E4 + z)) * cos4[None, :, :, None] \
                     * gt[:, None, :, :]
                 outs.append(jnp.transpose(jnp.sum(op, axis=2), (0, 2, 1)))
-            else:                           # flat (lm2x, lm2y, P)
-                op = (jnp.exp(-(E4 + z)) * cosr[c]).reshape(
-                    l2x, l2y, r, ob
-                )
-                outs.append(jnp.sum(op * gsel[:, :, None, :], axis=-1))
+            else:                           # row-major (l2x, l2y, r, ob)
+                op = jnp.exp(-(E4 + z)) * cos4 * gsel[:, :, None, :]
+                outs.append(jnp.sum(op, axis=-1))
         return (
             jnp.stack(outs)
             .reshape(2, 2, l2x, l2y, r)
@@ -178,7 +176,7 @@ def make_fine_translate_shardmap(mesh: Mesh, orient: str):
 
     E_spec = (
         P("x", None, None, "y") if orient == "y_minor"
-        else P("x", "y", None)
+        else P("x", "y", None, None)
     )
     return shard_map(
         local,

@@ -48,7 +48,7 @@ RESULTS = os.path.join(
 )
 
 
-def run_one(sz, tol, restart, force_factored_leaf=True):
+def run_one(sz, tol, restart, force_factored_leaf=True, with_ref=True):
     from aniso_tpu import SolverConfig
     from aniso_tpu.solver.operator import TransportSolver
     from aniso_tpu.solver.gmres import gmres
@@ -106,12 +106,18 @@ def run_one(sz, tol, restart, force_factored_leaf=True):
     jax.block_until_ready(res.x)
     wall = time.time() - t0
 
-    # single-device reference solve (same caches, unsharded)
-    ref = solver.solve(q)
-    x_diff = float(
-        np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x))
-        / np.linalg.norm(np.asarray(ref.x))
-    )
+    # single-device reference solve (same caches, unsharded).  --no-ref
+    # skips it at 1024^2, where a second full CPU solve would double an
+    # hours-long oversubscribed run; matvec parity at that size is a
+    # separate committed artifact (results_1024_virtual.json)
+    x_diff = ref_iters = None
+    if with_ref:
+        ref = solver.solve(q)
+        x_diff = float(
+            np.linalg.norm(np.asarray(res.x) - np.asarray(ref.x))
+            / np.linalg.norm(np.asarray(ref.x))
+        )
+        ref_iters = int(ref.iterations)
 
     stats = compiled_collective_stats(
         solve_full.lower(caches, mode_statics[0], sig_sh, u).compile()
@@ -129,7 +135,7 @@ def run_one(sz, tol, restart, force_factored_leaf=True):
         "sharded_true_rel_residual_f32": float(true_rel),
         "converged": bool(res.converged),
         "x_rel_diff_vs_single_device": x_diff,
-        "single_device_iterations": int(ref.iterations),
+        "single_device_iterations": ref_iters,
         "collective_counts": dict(stats.counts),
         "collective_bytes_per_shard": dict(stats.bytes),
         "all_gather_bytes": int(ag_bytes),
@@ -142,6 +148,7 @@ def main():
     ap.add_argument("--sizes", type=int, nargs="+", default=[256])
     ap.add_argument("--tol", type=float, default=1e-7)
     ap.add_argument("--restart", type=int, default=40)
+    ap.add_argument("--no-ref", action="store_true")
     args = ap.parse_args()
 
     all_recs = []
@@ -150,7 +157,8 @@ def main():
             all_recs = json.load(f)
     for sz in args.sizes:
         try:
-            rec = run_one(sz, args.tol, args.restart)
+            rec = run_one(sz, args.tol, args.restart,
+                          with_ref=not args.no_ref)
         except Exception as e:
             rec = {"sz": sz, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(rec), flush=True)

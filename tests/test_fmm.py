@@ -287,13 +287,13 @@ def test_yminor_dense_orientation_matches_rowmajor(monkeypatch):
     rng = np.random.default_rng(5)
     v = jnp.asarray(rng.standard_normal((32, 32, 4)), jnp.float32)
 
-    s_flat = build()                       # m2 in {4, 8, 16} -> flat 3D
+    s_row = build()                        # m2 in {4, 8, 16} -> row-major
     assert all(
-        b.ndim == 3
-        for lv, blocks in s_flat._caches["m2l_E"].items()
+        b.ndim == 4 and b.shape[-1] != b.shape[0]
+        for lv, blocks in s_row._caches["m2l_E"].items()
         if isinstance(blocks, tuple) for b in blocks
     )
-    ref = np.asarray(s_flat.apply_mode(0, v))
+    ref = np.asarray(s_row.apply_mode(0, v))
 
     monkeypatch.setattr(S, "_DENSE_LANE_ALIGN", 8)
     s_ym = build()                         # leaf m2=16 -> y-minor
