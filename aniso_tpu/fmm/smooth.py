@@ -252,6 +252,31 @@ def patch_for_level(coeffs, level: int) -> jnp.ndarray:
     return jnp.stack(patches)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _fine_E_build_jit(coeffs, W, dx, level, y_minor):
+    """ONE jitted program per (level shape, dtype, orientation) for the
+    whole fine-level dense build: patch assembly + per-class contraction
+    + orientation transform.  The eager form dispatched dozens of
+    sub-second remote compiles per set_coeff that fall under the
+    persistent-cache threshold and were re-paid by EVERY process
+    (round-5 item 3: 64^2 cold m2l phase stuck at ~29 s across
+    processes); as one >1 s program it caches on disk and a second
+    process pays only the dispatch."""
+    patch = patch_for_level(coeffs, level)
+    P = W.shape[-1]
+    r = int(np.sqrt(P // 27))
+    out = []
+    for c in range(4):
+        E = jnp.einsum("xyq,qp->xyp", patch[c], W[c], precision=HIGHEST)
+        m2 = E.shape[0]
+        ob = E.shape[-1] // r
+        E4 = (E * dx).reshape(m2, m2, r, ob)
+        if y_minor:
+            E4 = jnp.transpose(E4, (0, 2, 3, 1))
+        out.append(E4)
+    return tuple(out)
+
+
 def build_m2l_E_fine(
     grid: Grid, tcfg: TreeConfig, level: int, np_cheb: int,
     coeffs: jnp.ndarray, dtype=jnp.float32,
@@ -276,50 +301,28 @@ def build_m2l_E_fine(
     r*27*r = 6912 for np_cheb=4 is an exact multiple of the TPU 128-lane
     tile, so the dominant cache stores with ZERO padding at any grid size
     (a trailing (27, r, r) would pad 8x and OOM at 128^2+).
+
+    Orientation per class: m2 lane-aligned (>= 128) stores y-MINOR
+    (m2, r, 27r, m2) -- byte-identical to the compact layout XLA would
+    pick anyway (27r sublanes, m2 lanes, ZERO padding), making the 512^2
+    compile layout-deterministic where (.., r, 27r)-minor forms were a
+    coin flip between in-place fusion and 12 GB of padded argument
+    copies (round-4 chip forensics).  Smaller levels store row-major
+    (m2, m2, r, 27r); its 27r lane dim pads to 512 (+18.5% at rest) but
+    it measured FASTEST on chip at these sizes -- the round-5 A/B
+    (results_scale r5-f32 runs) had the zero-padding alternatives both
+    lose (xy-minor (r, 27r, m2^2) 1.99 ms, flat (m2, m2, P) 2.99 ms vs
+    row-major 1.48 ms at 128^2): at ~30-50% of HBM peak the at-rest
+    padding is not the binding constraint, and the alternatives'
+    padded-temp re-lays cost more than they save.
     """
     B = tcfg.box_size_squares(level)
-    r = np_cheb * np_cheb
+    m2 = tcfg.boxes(level) // 2
     W = _fine_W_device(grid, np_cheb, B, dtype)        # (4, Q, P), cell units
-    patch = patch_for_level(coeffs.astype(dtype), level)
     dx = jnp.asarray(grid.dx, dtype=dtype)
-    # stored 4D (m2, m2, r, 27r) per class: the (a, o, b) pair axis split
-    # so the target-point dim a is its own (sublane) axis AT REST.  XLA
-    # pads the 27r lane dim to the 128 tile (432 -> 512 for np_cheb 4,
-    # +18.5% HBM) -- the price of tile alignment.  Every alternative
-    # measured worse on chip (round 4): flat-P forms must view E as
-    # (..., r, 27r) at apply time, and since 27r is NOT lane-aligned that
-    # view can never be a bitcast -- XLA materializes full padded COPIES
-    # of the operand (12 GB of temps -> compile OOM at 512^2), or, per
-    # chunk, runs them inside the loop (2x matvec).  Stored 4D, the fused
-    # translate reads the argument in place with zero copies.
-    out = []
-    for c in range(4):
-        E = jnp.einsum("xyq,qp->xyp", patch[c], W[c], precision=HIGHEST)
-        m2 = E.shape[0]
-        ob = E.shape[-1] // r
-        E4 = (E * dx).reshape(m2, m2, r, ob)
-        if m2 % _DENSE_LANE_ALIGN == 0:
-            # y-MINOR orientation (m2, r, 27r, m2): its default row-major
-            # layout is byte-identical to the compact layout XLA would
-            # pick anyway (27r sublanes, m2 lanes, ZERO padding), so
-            # layout assignment has no better layout to copy into --
-            # the 512^2 compile is deterministic where every (…, r, 27r)
-            # minor orientation was a coin flip between in-place fusion
-            # and 12 GB of padded argument copies (round-4 chip
-            # forensics; the remote compile helper is not deterministic
-            # across processes).  Requires m2 lane-aligned.
-            E4 = jnp.transpose(E4, (0, 2, 3, 1))
-        # else: row-major (m2, m2, r, 27r); the 27r lane dim pads to 512
-        # (+18.5% at rest) -- measured FASTEST for sub-128 m2 on chip.
-        # Round-5 A/B on hardware (results_scale r5-f32 runs): the
-        # zero-padding alternatives both lost -- xy-minor (r, 27r, m2^2)
-        # 1.99 ms and flat (m2, m2, P) 2.99 ms vs row-major 1.48 ms at
-        # 128^2 (flat's exp temp must be re-laid (.., r, 27r) before the
-        # reduce, costing more than the at-rest pad it saves).  At these
-        # sizes the matvec runs ~30-50% of HBM peak, so at-rest padding
-        # is not the binding constraint.
-        out.append(E4)
-    return tuple(out)
+    return _fine_E_build_jit(
+        coeffs.astype(dtype), W, dx, level, m2 % _DENSE_LANE_ALIGN == 0
+    )
 
 
 def unsharded_build() -> bool:

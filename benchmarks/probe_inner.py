@@ -22,7 +22,7 @@ os.makedirs("/tmp/aniso_tpu_jax_cache", exist_ok=True)
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/aniso_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

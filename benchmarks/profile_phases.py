@@ -23,7 +23,7 @@ import jax
 
 os.makedirs("/tmp/aniso_tpu_jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/aniso_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import jax.numpy as jnp
 import numpy as np

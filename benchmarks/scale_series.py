@@ -21,7 +21,7 @@ os.makedirs("/tmp/aniso_tpu_jax_cache", exist_ok=True)
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/aniso_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 # x64 on unconditionally: the device coarse-E builder runs its exact f64
 # quadrature on the chip (fmm.smooth.build_m2l_E_coarse_device) for the
 # f32 rows too; the solve path stays f32 (cfg.dtype)
