@@ -410,7 +410,20 @@ def _level_E(m2l_E, level, coeffs):
     return E_l
 
 
+def _m2l_translate_offsets_multi(E_l, cosr_list, gsel, z=0.0):
+    """Multi-mode per-offset translation: one E re-form + one exp PER
+    CANONICAL BLOCK shared by every Fourier mode (the E cache is
+    mode-independent; only the tiny cos(m theta)/r tables differ), so
+    the D-mode sweep pays the quadrature once, not D times.  Returns a
+    list of (m, m, r) locals, one per entry of cosr_list."""
+    return _offsets_translate_impl(E_l, list(cosr_list), gsel, z)
+
+
 def _m2l_translate_offsets(E_l, cosr_l, gsel, z=0.0):
+    return _offsets_translate_impl(E_l, [cosr_l], gsel, z)[0]
+
+
+def _offsets_translate_impl(E_l, cosr_list, gsel, z=0.0):
     """Fused V-list translation at one fine level in the PER-OFFSET
     virtual representation (fmm.smooth.build_m2l_offsets_fine): each
     canonical (class, offset) E block is re-formed from bounding-box
@@ -442,8 +455,15 @@ def _m2l_translate_offsets(E_l, cosr_l, gsel, z=0.0):
     LX = pad.shape[0] // B
     pb = pad.reshape(LX, B, LX, B, nq)
     g4 = [gsel[c].reshape(m2, m2, 27, r) for c in range(4)]
-    cos4 = [cosr_l[c].reshape(r, 27, r) for c in range(4)]
-    T = [jnp.zeros((m2, m2, r), dtype=coeffs.dtype) for _ in range(4)]
+    D = len(cosr_list)
+    cos4 = [
+        [cosr_l[c].reshape(r, 27, r) for c in range(4)]
+        for cosr_l in cosr_list
+    ]
+    T = [
+        [jnp.zeros((m2, m2, r), dtype=coeffs.dtype) for _ in range(4)]
+        for _ in range(D)
+    ]
     for (c, o, px, py, di, dj, ki) in entries:
         W = Wo[ki]                          # flat (r*r, bbx*bby*nq)
         bbx = (abs(di) + 1) * B
@@ -465,24 +485,26 @@ def _m2l_translate_offsets(E_l, cosr_l, gsel, z=0.0):
         E = jnp.einsum(
             "xyk,pk->xyp", win + z, W, precision=HIGHEST
         ).reshape(m2, m2, r, r)
-        X = jnp.exp(-E)                     # shared with the mirror
-        T[c] = T[c] + jnp.sum(
-            X * cos4[c][None, None, :, o, :] * g4[c][:, :, None, o, :],
-            axis=-1,
-        )
+        X = jnp.exp(-E)                     # shared: mirror AND all modes
         c2, o2, sx, sy = mirrors[(c, o)]
         xd = slice(max(0, sx), m2 + min(0, sx))
         yd = slice(max(0, sy), m2 + min(0, sy))
         xs = slice(max(0, -sx), m2 + min(0, -sx))
         ys = slice(max(0, -sy), m2 + min(0, -sy))
         XT = jnp.swapaxes(X, 2, 3)[xs, ys]  # exp(-E)(b -> a), shifted
-        contrib = jnp.sum(
-            XT * cos4[c2][None, None, :, o2, :]
-            * g4[c2][xd, yd][:, :, None, o2, :],
-            axis=-1,
-        )
-        T[c2] = T[c2].at[xd, yd].add(contrib)
-    return _interleave_classes(T, m2, r)
+        for d in range(D):
+            T[d][c] = T[d][c] + jnp.sum(
+                X * cos4[d][c][None, None, :, o, :]
+                * g4[c][:, :, None, o, :],
+                axis=-1,
+            )
+            contrib = jnp.sum(
+                XT * cos4[d][c2][None, None, :, o2, :]
+                * g4[c2][xd, yd][:, :, None, o2, :],
+                axis=-1,
+            )
+            T[d][c2] = T[d][c2].at[xd, yd].add(contrib)
+    return [_interleave_classes(T[d], m2, r) for d in range(D)]
 
 
 def _down_pass(static, leaf_level: int, M, m2l_E, m2l_cosr, coeffs=None,
@@ -693,10 +715,18 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u,
     for level in range(lo, leaf_level + 1):
         gsel = _vlist_gather(M[level])
         E_l = _level_E(caches["m2l_E"], level, caches.get("coeffs"))
-        T = jnp.stack([
-            _m2l_translate(E_l, ms["m2l_cosr"][level], gsel, n_shards, z)
-            for ms in mode_statics
-        ])
+        if isinstance(E_l, dict) and "Wo" in E_l:
+            # per-offset levels: ONE E re-form + exp shared by all modes
+            T = jnp.stack(_m2l_translate_offsets_multi(
+                E_l, [ms["m2l_cosr"][level] for ms in mode_statics],
+                gsel, z,
+            ))
+        else:
+            T = jnp.stack([
+                _m2l_translate(E_l, ms["m2l_cosr"][level], gsel,
+                               n_shards, z)
+                for ms in mode_statics
+            ])
         if L is None:
             L = T
         else:

@@ -351,3 +351,34 @@ def test_offsets_fine_E_matches_dense():
     for m in (0, 1):
         out = np.asarray(apply_jit(virt, solver._mode_statics[m], u, m))
         np.testing.assert_allclose(out, ref[m], rtol=1e-12, atol=1e-13)
+
+
+def test_offsets_multimode_forward_matches_dense():
+    """fmm_apply_all_modes over per-offset levels (one E re-form + exp
+    shared by every mode, _m2l_translate_offsets_multi) == the dense-cache
+    multi-mode forward."""
+    import jax
+    import aniso_tpu.fmm.smooth as S
+
+    cfg = SolverConfig(
+        domain_size=16, quad_rule=2, kernel_size=2, g=0.5,
+        sing_rule=6, np_cheb=4, dtype="float64",
+    )
+    rng = np.random.default_rng(3)
+    s = TransportSolver(cfg, backend="fmm")
+    g = s.grid
+    sig = 1.0 + rng.random(g.nodes_x.shape)
+    s.set_coeff(sig, sig + 0.3)
+    u = rng.random((2,) + g.nodes_x.shape)
+    ref = np.asarray(s.forward(jnp.asarray(u)))
+
+    coeffs_dev = jnp.asarray(s._coeffs_np, dtype=jnp.float64)
+    s._caches = dict(s._caches)
+    s._caches["m2l_E"] = S.build_m2l_E(
+        g, s._tcfg, cfg.np_cheb, coeffs_dev, dtype=jnp.float64,
+        coeffs_np=s._coeffs_np, budget_bytes=0, fine_fallback="offsets",
+    )
+    s._caches["coeffs"] = coeffs_dev
+    out = np.asarray(s.forward(jnp.asarray(u)))
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 1e-12, err
