@@ -700,13 +700,20 @@ def fmm_apply_mode(leaf_level, static, caches, mode_static, mode, u,
 def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u,
                         n_shards: int = 1):
     """K_d u for every mode d at once, sharing the up sweep and V-list
-    gathers across modes: returns (D, sz, sz, nq).
+    gathers across modes: returns a LIST of D (sz, sz, nq) fields.
 
     This is the building block of the one-program multi-mode forward
     (aniso.m:121-156 issues a separate MEX `mapping` crossing per (i, j)
     pair; here all modes of one charge ride one compiled sweep).
+
+    The per-mode locals are carried as a python list, never stacked into
+    one (D, m, m, r) array: any r-minor stack at 512^2 scale lays out
+    with the 16-lane dim padded 8x (a (9, 512, 512, 16) leaf stack is a
+    1.12 GB dynamic-update-slice temp for 144 MB of payload -- measured
+    compile OOM of the N=5 512^2 multi-mode forward), and the stacked
+    carry keeps every mode's locals live through every level.  As a
+    list, each mode's L2L/add chain schedules independently.
     """
-    D = len(mode_statics)
     z = _loop_variant_zero(u)
     M = _up_pass(static, leaf_level, u)
     lo = coarsest_m2l_level()
@@ -717,26 +724,31 @@ def fmm_apply_all_modes(leaf_level, static, caches, mode_statics, u,
         E_l = _level_E(caches["m2l_E"], level, caches.get("coeffs"))
         if isinstance(E_l, dict) and "Wo" in E_l:
             # per-offset levels: ONE E re-form + exp shared by all modes
-            T = jnp.stack(_m2l_translate_offsets_multi(
+            T = _m2l_translate_offsets_multi(
                 E_l, [ms["m2l_cosr"][level] for ms in mode_statics],
                 gsel, z,
-            ))
+            )
         else:
-            T = jnp.stack([
+            T = [
                 _m2l_translate(E_l, ms["m2l_cosr"][level], gsel,
                                n_shards, z)
                 for ms in mode_statics
-            ])
+            ]
         if L is None:
             L = T
         else:
-            m2 = L.shape[1]
-            r = L.shape[-1]
-            Lc = jnp.einsum("hgac,dxya->dxhygc", m2m, L, precision=HIGHEST)
-            L = Lc.reshape(D, 2 * m2, 2 * m2, r) + T
-    far = jnp.einsum("kc,dijc->dijk", static["l2t"], L, precision=HIGHEST)
-    near = jnp.stack([
-        _near_apply(caches, ms, d, u, n_shards, z)
-        for d, ms in enumerate(mode_statics)
-    ])
-    return (far + near) / (2.0 * jnp.pi)
+            m = L[0].shape[0]
+            r = L[0].shape[-1]
+            L = [
+                jnp.einsum(
+                    "hgac,xya->xhygc", m2m, Ld, precision=HIGHEST
+                ).reshape(2 * m, 2 * m, r) + Td
+                for Ld, Td in zip(L, T)
+            ]
+    return [
+        (
+            jnp.einsum("kc,ijc->ijk", static["l2t"], Ld, precision=HIGHEST)
+            + _near_apply(caches, ms, d, u, n_shards, z)
+        ) / (2.0 * jnp.pi)
+        for d, (ms, Ld) in enumerate(zip(mode_statics, L))
+    ]

@@ -207,22 +207,32 @@ class TransportSolver:
         # traced function serves both the f32 fast path and the f64
         # refinement twin -- and large arrays never bake into the HLO
         # as constants (the remote-compile tunnel rejects >MB programs).
+        # The C[i, a, d] coupling is applied as an ACCUMULATION over the
+        # charge index a (and per-mode list entries d), never as one
+        # einsum over a stacked (N, D, sz, sz, nq) tensor: the stack
+        # holds all N*D mode sweeps live at once and its r-minor layout
+        # pads 8x on TPU (5.6 GB of program temps for N=5 at 512^2 --
+        # measured compile OOM), while the accumulated form keeps one
+        # charge's D sweeps + the (N, ...) output live.
+        def _coupled(st, caches, mode_statics, C, v):
+            out = None
+            for a in range(N):
+                Ka = all_modes(st, caches, mode_statics, v[a])
+                acc = sum(
+                    C[:, a, d][:, None, None, None] * Kd[None]
+                    for d, Kd in enumerate(Ka)
+                )
+                out = acc if out is None else out + acc
+            return out
+
         def forward_impl(st, caches, mode_statics, C_fwd, sigma_s, u):
             u = u.reshape(shape)
             v = sigma_s[None] * u
-            Kall = jnp.stack(
-                [all_modes(st, caches, mode_statics, v[a]) for a in range(N)]
-            )  # (N, D, sz, sz, nq)
-            return u - jnp.einsum("iad,adxyk->ixyk", C_fwd, Kall,
-                                  precision=jax.lax.Precision.HIGHEST)
+            return u - _coupled(st, caches, mode_statics, C_fwd, v)
 
         def rhs_impl(st, caches, mode_statics, C_rhs, q):
             q = q.reshape(shape)
-            Kall = jnp.stack(
-                [all_modes(st, caches, mode_statics, q[a]) for a in range(N)]
-            )
-            return jnp.einsum("iad,adxyk->ixyk", C_rhs, Kall,
-                              precision=jax.lax.Precision.HIGHEST)
+            return _coupled(st, caches, mode_statics, C_rhs, q)
 
         self._forward_impl_jit = jax.jit(forward_impl)
         self._rhs_impl_jit = jax.jit(rhs_impl)

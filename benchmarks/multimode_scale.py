@@ -37,10 +37,11 @@ RESULTS = os.path.join(
 )
 
 
-def run_one(sz, N, g, deg, reps):
+def run_one(sz, N, g, deg, reps, leaf_virtual=False):
     import jax.numpy as jnp
     from aniso_tpu import SolverConfig
     from aniso_tpu.solver.operator import TransportSolver
+    import aniso_tpu.fmm.smooth as smooth
     from aniso_tpu.fmm.smooth import m2l_cache_bytes
 
     cfg = SolverConfig(
@@ -48,6 +49,30 @@ def run_one(sz, N, g, deg, reps):
         sing_rule=8, np_cheb=4, dtype="float32", tol=1e-7,
         restart=40, max_iter=400,
     )
+    # --leaf-virtual: evict the leaf from the dense budget (per-offset
+    # recompute form, fmm.smooth.build_m2l_offsets_fine).  At 512^2 the
+    # 10.4 GB all-dense caches + the multi-mode chain's program temps
+    # exceed the axon plugin's practical HBM ceiling (measured OOM at
+    # N=1); the per-offset leaf frees 7.25 GB and is exactly the
+    # representation the refined 512^2 north-star config runs.  The
+    # row's claim (E byte-identical in N, shared-sweep amortization) is
+    # representation-independent.
+    saved_cap = smooth._DENSE_E_LEVEL_CAP_BYTES
+    if leaf_virtual:
+        smooth._DENSE_E_LEVEL_CAP_BYTES = (
+            smooth.fine_dense_level_bytes(
+                (1 << (sz.bit_length() - 2)), 4, 4) // 4 - 1
+        )
+    try:
+        return _run_one_body(
+            cfg, N, reps, time, jnp, TransportSolver, m2l_cache_bytes
+        )
+    finally:
+        smooth._DENSE_E_LEVEL_CAP_BYTES = saved_cap
+
+
+def _run_one_body(cfg, N, reps, time, jnp, TransportSolver, m2l_cache_bytes):
+    sz, g, deg = cfg.domain_size, cfg.g, cfg.quad_rule
     solver = TransportSolver(cfg, backend="fmm")
     grid = solver.grid
     sig_s = 20 * 0.5 * (1 - np.cos(2 * np.pi * grid.nodes_x))
@@ -118,6 +143,11 @@ def run_one(sz, N, g, deg, reps):
         "set_coeff_phases_warm": warm_phases,
         "set_coeff_phases_warm2": warm2_phases,
         "e_cache_mb": round(cache_mb, 1),
+        "level_repr": {
+            int(lv): ("offsets" if isinstance(v, dict) and "Wo" in v
+                      else "factored" if isinstance(v, dict) else "dense")
+            for lv, v in caches["m2l_E"].items()
+        },
         "forward_ms": round(per * 1e3, 3),
         "forward_compile_s": round(compile_s, 1),
         "mode_pair_translates": pairs,
@@ -134,6 +164,7 @@ def main():
     ap.add_argument("--modes", type=int, nargs="+", default=[1, 3, 5])
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--tag", type=str, default="")
+    ap.add_argument("--leaf-virtual", action="store_true")
     args = ap.parse_args()
 
     all_recs = []
@@ -142,7 +173,8 @@ def main():
             all_recs = json.load(f)
     for N in args.modes:
         try:
-            rec = run_one(args.sz, N, args.g, args.deg, args.reps)
+            rec = run_one(args.sz, N, args.g, args.deg, args.reps,
+                          leaf_virtual=args.leaf_virtual)
             import gc
 
             gc.collect()
