@@ -465,7 +465,16 @@ class TransportSolver:
             # per-offset recompute form (budget=0) -- ~20 MB resident vs
             # the 490 MB factored W64 + patch form, and ~6x fewer
             # re-form flops per residual sweep (round-4: 7.9 s/sweep,
-            # 23.4 s of the 45 s refined 512^2 solve)
+            # 23.4 s of the 45 s refined 512^2 solve).
+            # Densifying the twin's B=2 level in f64 instead (3.6 GB,
+            # halving the per-sweep re-form flops) was attempted in
+            # round 5 and REVERTED: leftover-headroom accounting said it
+            # fits (~6.4 GB headroom vs 4.9 GB coarse64+L8 need at
+            # 512^2) but the chip hit plugin-level ResourceExhausted --
+            # the L8 f64 dense BUILD transients (per-class patch
+            # assembly + 0.9 GB/class output next to the resident f32
+            # caches) exceed the practical per-execution ceiling before
+            # the solve even starts (results_scale.json tag r5b).
             t0 = _time.time()
             self._caches64 = jax.block_until_ready(
                 build(jnp.float64, "64", virtual=True, budget=0,

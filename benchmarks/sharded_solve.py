@@ -29,9 +29,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_DEV = 8
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
+    flags = (
         flags + f" --xla_force_host_platform_device_count={N_DEV}"
     ).strip()
+if "collective_call_terminate" not in flags:
+    # 8 virtual devices time-slice 2 host cores: at 1024^2 a shard can
+    # lag far more than the 40 s default behind a collective-permute
+    # rendezvous, and XLA's CPU runtime then ABORTS the process
+    # (rendezvous.cc "Termination timeout ... exceeded", measured on the
+    # first 1024^2 converged-solve attempt).  These are liveness
+    # watchdogs, not correctness gates; on the oversubscribed host they
+    # must sit above the worst-case shard skew.
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=14400"
+        " --xla_cpu_collective_timeout_seconds=14400"
+    )
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
