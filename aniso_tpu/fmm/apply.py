@@ -338,10 +338,24 @@ def _m2l_translate(E_l, cosr_l, gsel, n_shards=1, z=0.0):
         # (the HIGHEST concern is bf16 MXU multiplies, which don't apply)
         # and the 432-term f32 reduce error ~sqrt(432)*eps matches the
         # dot form's f32 accumulator.
+        # per-class flat (m2, m2, P) fine levels (smooth._small_dense_flat)
+        # take the round-3 DOT form: exp * cosr on the flat lane axis
+        # (P = r*27r is 128-aligned, zero padding), the (.., r, ob) view
+        # lands on the fresh `op` transient (not the stored cache), and
+        # the contraction is a dot_general
+        flat_dot = isinstance(E_l, (tuple, list)) and E_l[0].ndim == 3
         outs = []
         for c in range(4):
             E4 = E_l[c]
             cos4 = cosr_l[c].reshape(r, ob)
+            if flat_dot:
+                op = (jnp.exp(-(E4 + z)) * cosr_l[c]).reshape(
+                    m2, m2, r, ob
+                )
+                outs.append(jnp.einsum(
+                    "xyaq,xyq->xya", op, gsel[c], precision=HIGHEST
+                ))
+                continue
             if E4.ndim == 4 and E4.shape[-1] == E4.shape[0]:
                 # y-minor orientation (m2, r, ob, m2): reduce over ob
                 # (dim 2); gather stack transposed to (m2, ob, m2).

@@ -253,7 +253,7 @@ def patch_for_level(coeffs, level: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
-def _fine_E_build_jit(coeffs, W, dx, level, y_minor):
+def _fine_E_build_jit(coeffs, W, dx, level, orientation):
     """ONE jitted program per (level shape, dtype, orientation) for the
     whole fine-level dense build: patch assembly + per-class contraction
     + orientation transform.  The eager form dispatched dozens of
@@ -261,7 +261,13 @@ def _fine_E_build_jit(coeffs, W, dx, level, y_minor):
     persistent-cache threshold and were re-paid by EVERY process
     (round-5 item 3: 64^2 cold m2l phase stuck at ~29 s across
     processes); as one >1 s program it caches on disk and a second
-    process pays only the dispatch."""
+    process pays only the dispatch.
+
+    orientation: 'y_minor' (m2, r, 27r, m2), 'row' (m2, m2, r, 27r), or
+    'flat' (m2, m2, P) with the (a, o, b) pair axis flat-minor (zero
+    padding; consumed by the dot-form translate -- the round-3 small-
+    grid layout, A/B-able at the smallest levels via
+    ANISO_SMALL_DENSE_FLAT=1)."""
     patch = patch_for_level(coeffs, level)
     P = W.shape[-1]
     r = int(np.sqrt(P // 27))
@@ -270,11 +276,19 @@ def _fine_E_build_jit(coeffs, W, dx, level, y_minor):
         E = jnp.einsum("xyq,qp->xyp", patch[c], W[c], precision=HIGHEST)
         m2 = E.shape[0]
         ob = E.shape[-1] // r
-        E4 = (E * dx).reshape(m2, m2, r, ob)
-        if y_minor:
+        E4 = E * dx
+        if orientation != "flat":
+            E4 = E4.reshape(m2, m2, r, ob)
+        if orientation == "y_minor":
             E4 = jnp.transpose(E4, (0, 2, 3, 1))
         out.append(E4)
     return tuple(out)
+
+
+def _small_dense_flat() -> bool:
+    """A/B switch: store the smallest fine dense levels (m2 <= 32) flat
+    (m2, m2, P) and translate them with the dot form (round-3 layout)."""
+    return _os.environ.get("ANISO_SMALL_DENSE_FLAT", "0") == "1"
 
 
 def build_m2l_E_fine(
@@ -320,9 +334,12 @@ def build_m2l_E_fine(
     m2 = tcfg.boxes(level) // 2
     W = _fine_W_device(grid, np_cheb, B, dtype)        # (4, Q, P), cell units
     dx = jnp.asarray(grid.dx, dtype=dtype)
-    return _fine_E_build_jit(
-        coeffs.astype(dtype), W, dx, level, m2 % _DENSE_LANE_ALIGN == 0
+    orientation = (
+        "y_minor" if m2 % _DENSE_LANE_ALIGN == 0
+        else "flat" if m2 <= 32 and _small_dense_flat()
+        else "row"
     )
+    return _fine_E_build_jit(coeffs.astype(dtype), W, dx, level, orientation)
 
 
 def unsharded_build() -> bool:
@@ -936,6 +953,9 @@ def fine_dense_level_bytes(m2: int, np_cheb: int, itemsize: int) -> int:
         # y-minor (m2, r, 27r, m2): minor m2 lane-aligned by the branch,
         # second-minor 27r rounds to the 8-sublane tile
         return 4 * m2 * r * _roundup(27 * r, 8) * m2 * itemsize
+    if m2 <= 32 and _small_dense_flat():
+        # flat (m2, m2, P): P = 27 r^2 is 128-lane aligned, zero padding
+        return 4 * m2 * m2 * (27 * r * r) * itemsize
     return 4 * m2 * m2 * _roundup(r, 8) * _roundup(27 * r, 128) * itemsize
 
 
